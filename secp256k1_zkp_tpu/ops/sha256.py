@@ -1,0 +1,234 @@
+"""Batched SHA-256 / tagged hash / HMAC / RFC6979 HMAC-DRBG for TPU.
+
+TPU-native counterpart of the reference hash layer (``src/hash.h``,
+``src/hash_impl.h``).  All message lengths here are **static** (the
+protocols only hash fixed-size inputs: 32-byte scalars, 33-byte points,
+tag midstates), so every hash compiles to a fixed number of compression
+rounds — message-parallel across lanes, exactly the batching seam the
+reference's pluggable compression hook anticipates
+(include/secp256k1.h:420-446).
+
+Data layout: 32-bit big-endian words as uint32 tensors ``[..., W]``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import sha256_host
+
+_u32 = jnp.uint32
+_K = jnp.asarray(np.array(sha256_host.K, dtype=np.uint32))
+_INIT = np.array(sha256_host.INIT, dtype=np.uint32)
+
+
+def _rotr(x, n):
+    return (x >> n) | (x << (32 - n))
+
+
+def compress(state, block):
+    """One SHA-256 compression: state [..., 8], block [..., 16] -> [..., 8].
+
+    Unrolled 64 rounds on the VPU (cf. sha256_transform,
+    src/hash_impl.h:51-138)."""
+    w = [block[..., i] for i in range(16)]
+    for t in range(16, 64):
+        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
+        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
+        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+    a, b, c, d, e, f, g, h = [state[..., i] for i in range(8)]
+    for t in range(64):
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + _K[t] + w[t]
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+    return state + out
+
+
+def _pad_words(words, msg_bytes: int, consumed_bytes: int = 0):
+    """SHA-256 padding for a whole-word message of static length.
+
+    ``words``: [..., W] with W*4 == msg_bytes (only whole-word messages
+    are needed by the protocols; odd sizes handled by callers packing).
+    ``consumed_bytes``: bytes already absorbed (e.g. 64 for midstates).
+    Returns [..., 16*k] padded block words.
+    """
+    W = words.shape[-1]
+    assert W * 4 == msg_bytes
+    total = msg_bytes + consumed_bytes
+    # pad: 0x80... then zeros, then 8-byte bit length
+    pad_words_cnt = (-(W + 1 + 2)) % 16 + 1 + 2
+    batch = words.shape[:-1]
+    pad = jnp.zeros((*batch, pad_words_cnt), _u32)
+    pad = pad.at[..., 0].set(0x80000000)
+    bitlen = total * 8
+    pad = pad.at[..., -2].set((bitlen >> 32) & 0xFFFFFFFF)
+    pad = pad.at[..., -1].set(bitlen & 0xFFFFFFFF)
+    return jnp.concatenate([words, pad], axis=-1)
+
+
+def sha256_words(words, init_state=None, consumed_bytes: int = 0):
+    """SHA-256 of a whole-word message [..., W] -> digest words [..., 8].
+
+    ``init_state``/``consumed_bytes`` support midstate continuation."""
+    msg = _pad_words(words, words.shape[-1] * 4, consumed_bytes)
+    if init_state is None:
+        state = jnp.broadcast_to(jnp.asarray(_INIT), (*words.shape[:-1], 8))
+    else:
+        state = jnp.broadcast_to(init_state, (*words.shape[:-1], 8))
+    nblk = msg.shape[-1] // 16
+    for i in range(nblk):
+        state = compress(state, msg[..., 16 * i:16 * (i + 1)])
+    return state
+
+
+def tagged_hash_words(tag: str, words):
+    """SHA256(SHA256(tag)||SHA256(tag)||msg) with the tag midstate
+    precomputed on host (cf. hash_impl.h:196)."""
+    mid = jnp.asarray(np.array(sha256_host.tagged_midstate(tag),
+                               dtype=np.uint32))
+    return sha256_words(words, init_state=mid, consumed_bytes=64)
+
+
+def hmac_sha256(key8, msgs):
+    """HMAC-SHA256 with a 32-byte key (key8: [..., 8] words) over a
+    whole-word message [..., W] (cf. hmac_sha256, src/hash_impl.h:216).
+    """
+    batch = key8.shape[:-1]
+    zeros = jnp.zeros((*batch, 8), _u32)
+    kblock = jnp.concatenate([key8, zeros], axis=-1)
+    init = jnp.broadcast_to(jnp.asarray(_INIT), (*batch, 8))
+    inner = compress(init, kblock ^ _u32(0x36363636))
+    outer = compress(init, kblock ^ _u32(0x5C5C5C5C))
+    ihash = sha256_words(msgs, init_state=inner, consumed_bytes=64)
+    return sha256_words(ihash, init_state=outer, consumed_bytes=64)
+
+
+def bytes32_to_words(b):
+    """[..., 32] uint8 -> [..., 8] big-endian words."""
+    b = jnp.asarray(b, _u32)
+    s = b.shape[:-1]
+    b4 = b.reshape(*s, 8, 4)
+    return (b4[..., 0] << 24) | (b4[..., 1] << 16) | (b4[..., 2] << 8) \
+        | b4[..., 3]
+
+
+def words_to_bytes32(w):
+    """[..., 8] words -> [..., 32] uint8."""
+    s = w.shape[:-1]
+    out = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
+                     (w >> 8) & 0xFF, w & 0xFF], axis=-1)
+    return out.reshape(*s, 32).astype(jnp.uint8)
+
+
+class RFC6979:
+    """Batched RFC6979 HMAC-SHA256 DRBG (cf. rfc6979_hmac_sha256_*,
+    src/hash_impl.h:255-318).  Key material: fixed 64 bytes
+    (seckey32||msg32), optionally +32 (extra) as the reference's default
+    nonce function builds it (src/secp256k1.c:519-560)."""
+
+    def __init__(self, keydata_words):
+        """keydata_words: [..., 16] (64 bytes) or [..., 24] (96 bytes)."""
+        batch = keydata_words.shape[:-1]
+        v = jnp.full((*batch, 8), _u32(0x01010101))
+        k = jnp.zeros((*batch, 8), _u32)
+        zero = jnp.zeros((*batch, 1), _u32) if False else None
+        k = self._hmac_vbyte(k, v, keydata_words, 0x00)
+        v = hmac_sha256(k, v)
+        k = self._hmac_vbyte(k, v, keydata_words, 0x01)
+        v = hmac_sha256(k, v)
+        self.k, self.v = k, v
+
+    @staticmethod
+    def _hmac_vbyte(k, v, keydata_words, sep_byte):
+        """HMAC(k, v || sep_byte || keydata).  The message is 32 + 1 + 4*W
+        bytes — not word-aligned, so repack into words with a 1-byte shift.
+        """
+        W = keydata_words.shape[-1]
+        batch = v.shape[:-1]
+        # bytes: v(32) sep(1) keydata(4W) -> words
+        vb = words_to_bytes32(v)
+        kb = jnp.stack([(keydata_words >> 24) & 0xFF,
+                        (keydata_words >> 16) & 0xFF,
+                        (keydata_words >> 8) & 0xFF,
+                        keydata_words & 0xFF],
+                       axis=-1).reshape(*batch, 4 * W).astype(jnp.uint8)
+        sep = jnp.full((*batch, 1), sep_byte, jnp.uint8)
+        msg = jnp.concatenate([vb, sep, kb], axis=-1)  # 33+4W bytes
+        # pad to word multiple with zeros, track true length via manual
+        # padding: simpler to go through a generic byte-message hash:
+        return hmac_sha256_bytes(k, msg)
+
+    def generate32(self):
+        """One 32-byte output; updates state for the next candidate
+        (rfc6979_hmac_sha256_generate, src/hash_impl.h:295)."""
+        self.v = hmac_sha256(self.k, self.v)
+        out = self.v
+        # prepare next candidate: k = HMAC(k, v||0x00); v = HMAC(k, v)
+        vb = words_to_bytes32(self.v)
+        zero = jnp.zeros((*vb.shape[:-1], 1), jnp.uint8)
+        self.k = hmac_sha256_bytes(self.k, jnp.concatenate([vb, zero],
+                                                           axis=-1))
+        self.v = hmac_sha256(self.k, self.v)
+        return out
+
+
+def _pad_bytes_to_blocks(msg_bytes_arr, consumed_bytes: int):
+    """[..., L] uint8 (static L) -> padded block words [..., 16k]."""
+    L = msg_bytes_arr.shape[-1]
+    total = L + consumed_bytes
+    # message || 0x80 || zeros || 8-byte bitlen, to a 64-byte multiple
+    rem = (L + 1 + 8) % 64
+    zpad = (64 - rem) % 64
+    batch = msg_bytes_arr.shape[:-1]
+    parts = [msg_bytes_arr,
+             jnp.full((*batch, 1), 0x80, jnp.uint8),
+             jnp.zeros((*batch, zpad + 4), jnp.uint8)]
+    bitlen = total * 8
+    lenb = jnp.broadcast_to(
+        jnp.asarray(np.array([(bitlen >> 24) & 0xFF, (bitlen >> 16) & 0xFF,
+                              (bitlen >> 8) & 0xFF, bitlen & 0xFF],
+                             dtype=np.uint8)), (*batch, 4))
+    parts.append(lenb)
+    full = jnp.concatenate(parts, axis=-1)
+    assert full.shape[-1] % 64 == 0
+    nw = full.shape[-1] // 4
+    b4 = full.astype(_u32).reshape(*batch, nw, 4)
+    return (b4[..., 0] << 24) | (b4[..., 1] << 16) | (b4[..., 2] << 8) \
+        | b4[..., 3]
+
+
+def sha256_bytes(msg, init_state=None, consumed_bytes: int = 0):
+    """SHA-256 over a byte tensor [..., L] (static L) -> [..., 8] words."""
+    words = _pad_bytes_to_blocks(msg, consumed_bytes)
+    if init_state is None:
+        state = jnp.broadcast_to(jnp.asarray(_INIT), (*msg.shape[:-1], 8))
+    else:
+        state = jnp.broadcast_to(init_state, (*msg.shape[:-1], 8))
+    nblk = words.shape[-1] // 16
+    for i in range(nblk):
+        state = compress(state, words[..., 16 * i:16 * (i + 1)])
+    return state
+
+
+def hmac_sha256_bytes(key8, msg):
+    """HMAC-SHA256, 32-byte key, byte-tensor message [..., L]."""
+    batch = key8.shape[:-1]
+    zeros = jnp.zeros((*batch, 8), _u32)
+    kblock = jnp.concatenate([key8, zeros], axis=-1)
+    init = jnp.broadcast_to(jnp.asarray(_INIT), (*batch, 8))
+    inner = compress(init, kblock ^ _u32(0x36363636))
+    outer = compress(init, kblock ^ _u32(0x5C5C5C5C))
+    ihash = sha256_bytes(msg, init_state=inner, consumed_bytes=64)
+    return sha256_words(ihash, init_state=outer, consumed_bytes=64)
+
+
+def tagged_hash_bytes(tag: str, msg):
+    mid = jnp.asarray(np.array(sha256_host.tagged_midstate(tag),
+                               dtype=np.uint32))
+    return sha256_bytes(msg, init_state=mid, consumed_bytes=64)

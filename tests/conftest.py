@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Runs the suite on CPU with a virtual 8-device mesh so multi-chip sharding
+logic is exercised without TPU hardware (SURVEY.md §4 "multi-node testing
+without a cluster").  Set SECP_TPU_TEST_PLATFORM=tpu to run on real chips.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS",
+                      os.environ.get("SECP_TPU_TEST_PLATFORM", "cpu"))
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags and \
+        os.environ["JAX_PLATFORMS"] == "cpu":
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

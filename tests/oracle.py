@@ -1,0 +1,231 @@
+"""Pure-Python secp256k1 oracle for differential testing.
+
+Independent int-based implementation of the reference semantics
+(BlockstreamResearch/secp256k1-zkp) used as the golden model for the TPU
+library — the "bit-exactness oracle" of SURVEY.md §7.0.  Deliberately
+simple and slow; correctness is cross-checked by the Wycheproof / BIP-340
+vector tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+
+P = 2 ** 256 - 2 ** 32 - 977
+N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+G = (GX, GY)
+
+INF = None  # point at infinity
+
+
+# -- EC ops (affine, Python ints) -------------------------------------------
+
+def point_add(a, b):
+    if a is INF:
+        return b
+    if b is INF:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if (y1 + y2) % P == 0:
+            return INF
+        lam = (3 * x1 * x1) * pow(2 * y1, P - 2, P) % P
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, P - 2, P) % P
+    x3 = (lam * lam - x1 - x2) % P
+    y3 = (lam * (x1 - x3) - y1) % P
+    return (x3, y3)
+
+
+def point_neg(a):
+    if a is INF:
+        return INF
+    return (a[0], (P - a[1]) % P)
+
+
+def point_mul(k, pt):
+    k %= N
+    r = INF
+    q = pt
+    while k:
+        if k & 1:
+            r = point_add(r, q)
+        q = point_add(q, q)
+        k >>= 1
+    return r
+
+
+def is_on_curve(pt):
+    if pt is INF:
+        return True
+    x, y = pt
+    return (y * y - x * x * x - 7) % P == 0
+
+
+def lift_x_even_y(x):
+    """BIP-340 lift_x: point with given x and even y, or None."""
+    if x >= P:
+        return None
+    y2 = (pow(x, 3, P) + 7) % P
+    y = pow(y2, (P + 1) // 4, P)
+    if y * y % P != y2:
+        return None
+    if y & 1:
+        y = P - y
+    return (x, y)
+
+
+def decompress(prefix, x):
+    y2 = (pow(x, 3, P) + 7) % P
+    y = pow(y2, (P + 1) // 4, P)
+    if y * y % P != y2:
+        return None
+    if (y & 1) != (prefix & 1):
+        y = P - y
+    return (x, y)
+
+
+# -- hashes ------------------------------------------------------------------
+
+def sha256(b: bytes) -> bytes:
+    return hashlib.sha256(b).digest()
+
+
+def tagged_hash(tag: str, msg: bytes) -> bytes:
+    th = sha256(tag.encode())
+    return sha256(th + th + msg)
+
+
+def hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    return hmac_mod.new(key, msg, hashlib.sha256).digest()
+
+
+def rfc6979_nonce(seckey32: bytes, msg32: bytes, algo16: bytes | None = None,
+                  extra32: bytes | None = None, counter: int = 0) -> bytes:
+    """RFC6979 HMAC-SHA256 DRBG as the reference wires it
+    (nonce_function_rfc6979, src/secp256k1.c:519-560): key material is
+    seckey||msg32[||extra32][||algo16]; returns the counter-th candidate."""
+    keydata = seckey32 + msg32
+    if extra32 is not None:
+        keydata += extra32
+    if algo16 is not None:
+        keydata += algo16
+    v = b"\x01" * 32
+    k = b"\x00" * 32
+    k = hmac_sha256(k, v + b"\x00" + keydata)
+    v = hmac_sha256(k, v)
+    k = hmac_sha256(k, v + b"\x01" + keydata)
+    v = hmac_sha256(k, v)
+    for _ in range(counter + 1):
+        v = hmac_sha256(k, v)
+        out = v
+        # next-candidate step (only used if this candidate is rejected)
+        k = hmac_sha256(k, v + b"\x00")
+        v = hmac_sha256(k, v)
+    return out
+
+
+# -- ECDSA (low-S, RFC6979; matches ecdsa_sig_sign src/ecdsa_impl.h:274) -----
+
+def ecdsa_sign(msg32: bytes, seckey: int, counter: int = 0):
+    """Returns (r, s, recid)."""
+    sec32 = seckey.to_bytes(32, "big")
+    attempt = counter
+    while True:
+        k = int.from_bytes(rfc6979_nonce(sec32, msg32, counter=attempt),
+                           "big")
+        attempt += 1
+        if k == 0 or k >= N:
+            continue
+        R = point_mul(k, G)
+        r = R[0] % N
+        if r == 0:
+            continue
+        overflow = R[0] >= N
+        recid = (2 if overflow else 0) | (R[1] & 1)
+        m = int.from_bytes(msg32, "big") % N
+        s = pow(k, N - 2, N) * (m + r * seckey) % N
+        if s == 0:
+            continue
+        if s > N // 2:
+            s = N - s
+            recid ^= 1
+        return r, s, recid
+
+
+def ecdsa_verify(msg32: bytes, pub, r: int, s: int) -> bool:
+    if not (1 <= r < N and 1 <= s < N):
+        return False
+    if s > N // 2:  # low-S rule enforced like secp256k1_ecdsa_verify
+        return False
+    m = int.from_bytes(msg32, "big") % N
+    sinv = pow(s, N - 2, N)
+    u1 = m * sinv % N
+    u2 = r * sinv % N
+    R = point_add(point_mul(u1, G), point_mul(u2, pub))
+    if R is INF:
+        return False
+    return R[0] % N == r
+
+
+def ecdsa_recover(msg32: bytes, r: int, s: int, recid: int):
+    x = r + N if (recid & 2) else r
+    pt = decompress(recid & 1, x)
+    if pt is None:
+        return None
+    m = int.from_bytes(msg32, "big") % N
+    rinv = pow(r, N - 2, N)
+    # Q = r^-1 (sR - mG)
+    Q = point_add(point_mul(s * rinv % N, pt),
+                  point_mul((N - m) * rinv % N, G))
+    return Q
+
+
+# -- BIP-340 Schnorr ----------------------------------------------------------
+
+def schnorr_sign(msg: bytes, seckey: int, aux32: bytes = b"\x00" * 32):
+    d = seckey
+    Pt = point_mul(d, G)
+    if Pt[1] & 1:
+        d = N - d
+    t = d ^ int.from_bytes(tagged_hash("BIP0340/aux", aux32), "big")
+    rand = tagged_hash("BIP0340/nonce",
+                       t.to_bytes(32, "big") + Pt[0].to_bytes(32, "big") + msg)
+    k = int.from_bytes(rand, "big") % N
+    assert k != 0
+    R = point_mul(k, G)
+    if R[1] & 1:
+        k = N - k
+    e = int.from_bytes(
+        tagged_hash("BIP0340/challenge",
+                    R[0].to_bytes(32, "big") + Pt[0].to_bytes(32, "big")
+                    + msg), "big") % N
+    s = (k + e * d) % N
+    return R[0].to_bytes(32, "big") + s.to_bytes(32, "big")
+
+
+def schnorr_verify(msg: bytes, pubx: int, sig64: bytes) -> bool:
+    Pt = lift_x_even_y(pubx)
+    if Pt is None:
+        return False
+    r = int.from_bytes(sig64[:32], "big")
+    s = int.from_bytes(sig64[32:], "big")
+    if r >= P or s >= N:
+        return False
+    e = int.from_bytes(
+        tagged_hash("BIP0340/challenge",
+                    sig64[:32] + pubx.to_bytes(32, "big") + msg), "big") % N
+    R = point_add(point_mul(s, G), point_neg(point_mul(e, Pt)))
+    if R is INF or (R[1] & 1) or R[0] != r:
+        return False
+    return True
+
+
+# -- helpers for tests --------------------------------------------------------
+
+def fe_limbs(x: int):
+    return [(x >> (16 * i)) & 0xFFFF for i in range(16)]
