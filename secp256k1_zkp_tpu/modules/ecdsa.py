@@ -1,0 +1,172 @@
+"""Batched ECDSA over secp256k1, TPU-native.
+
+Counterpart of the reference's ECDSA core (src/ecdsa_impl.h) and API
+layer (src/secp256k1.c:417-513,562-664), including RFC6979 deterministic
+nonces, low-S normalization, recovery-id computation and public-key
+recovery (src/modules/recovery/main_impl.h:87-121).
+
+Batched-first: all byte tensors are [..., 32] uint8; results carry an
+``ok`` validity mask instead of int return codes.  Signature compact
+form is (r32 || s32); DER codecs live on host in utils/der.py (the
+host/device seam of SURVEY.md §7.2.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import ecmult
+from ..ops import field as F
+from ..ops import group as G
+from ..ops import scalar as S
+from ..ops import sha256 as H
+from ..ops.limb import LB, MASK16
+
+# fe-representable bound: r + n < p  <=>  r < p - n.
+_P_MINUS_N = F.P - S.N
+
+
+def rfc6979_nonce(msg32, sec32, counter_rounds: int = 2):
+    """Batched RFC6979 candidates; returns ([rounds, ..., 8] words).
+
+    Matches nonce_function_rfc6979 with no extra data
+    (src/secp256k1.c:519-560): key = sec32||msg32."""
+    kw = jnp.concatenate([H.bytes32_to_words(sec32),
+                          H.bytes32_to_words(msg32)], axis=-1)
+    drbg = H.RFC6979(kw)
+    outs = [drbg.generate32() for _ in range(counter_rounds)]
+    return jnp.stack(outs, axis=0)
+
+
+def _pick_nonce(nonces_words):
+    """Select the first candidate that is nonzero and < n, as the
+    reference's retry loop does (secp256k1.c:585-634).  Two candidates
+    cover failure probability ~2^-127."""
+    chosen = None
+    chosen_ok = None
+    for i in range(nonces_words.shape[0]):
+        b = H.words_to_bytes32(nonces_words[i])
+        k, ovf = S.from_bytes_be(b)
+        ok = ~ovf & ~S.is_zero(k)
+        if chosen is None:
+            chosen, chosen_ok = k, ok
+        else:
+            take = ~chosen_ok & ok
+            chosen = S.select(take, k, chosen)
+            chosen_ok = chosen_ok | ok
+    return chosen, chosen_ok
+
+
+def sign(msg32, sec32, table=None):
+    """Deterministic ECDSA sign (cf. ecdsa_sig_sign, src/ecdsa_impl.h:274).
+
+    Returns (sig64 [...,64] uint8, recid [...] int32, ok [...] bool).
+    Low-S normalized; recid as in the reference (bit0: R.y odd, bit1:
+    R.x >= n), both adjusted by the low-S negation."""
+    d, d_ovf = S.from_bytes_be(sec32)
+    d_ok = ~d_ovf & ~S.is_zero(d)
+
+    k, k_ok = _pick_nonce(rfc6979_nonce(msg32, sec32))
+
+    rj = ecmult.ecmult_gen(k, table)
+    R = G.ge_from_gej(rj)
+    rx = F.normalize(R.x)
+    ry_odd = F.is_odd(R.y)
+
+    # r = R.x mod n; overflow flag = (R.x >= n)
+    r, r_ovf = S.from_bytes_be(F.to_bytes_be(rx))
+    m, _ = S.from_bytes_be(msg32)
+
+    kinv = S.inv(k)
+    s = S.mul(kinv, S.add(m, S.mul(r, d)))
+    s = S.normalize(s)
+
+    high = S.is_high(s)
+    s = S.select(high, S.normalize(S.neg(s)), s)
+    recid = (jnp.where(r_ovf, 2, 0) | ry_odd.astype(jnp.int32)) \
+        ^ high.astype(jnp.int32)
+
+    ok = d_ok & k_ok & ~S.is_zero(r) & ~S.is_zero(s)
+    sig64 = jnp.concatenate([S.to_bytes_be(r), S.to_bytes_be(s)], axis=-1)
+    sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
+    return sig64, recid, ok
+
+
+def sig_parse_compact(sig64):
+    """[..., 64] -> (r, s, ok).  ok false on r/s overflow (cf.
+    ecdsa_signature_parse_compact, secp256k1.c:417)."""
+    r, rovf = S.from_bytes_be(sig64[..., :32])
+    s, sovf = S.from_bytes_be(sig64[..., 32:])
+    return r, s, ~rovf & ~sovf
+
+
+def verify_scalars(m: LB, r: LB, s: LB, pub: G.GE, table=None,
+                   enforce_low_s: bool = True):
+    """Core verification on parsed scalars (cf. ecdsa_sig_verify,
+    src/ecdsa_impl.h:195-272).  Returns a bool lane mask."""
+    nonzero = ~S.is_zero(r) & ~S.is_zero(s)
+    sinv = S.inv(s)
+    u1 = S.mul(m, sinv)
+    u2 = S.mul(r, sinv)
+    pr = ecmult.ecmult(u1, u2, pub, table)
+
+    # x(R) == r (mod n) without field inversion: check r and r+n as field
+    # elements against X/Z^2 (src/ecdsa_impl.h:241-268).
+    r_bytes = S.to_bytes_be(r)
+    xr, _ = F.from_bytes_be(r_bytes)
+    match = G.gej_eq_x(pr, xr)
+    # r + n representable iff r < p - n
+    lt = _scalar_lt(r, _P_MINUS_N)
+    xr2 = F.norm_weak(F.add(xr, F.fe(S.N)))
+    match2 = G.gej_eq_x(pr, xr2) & lt
+    ok = nonzero & ~pr.inf & (match | match2) & ~pub.inf
+    if enforce_low_s:
+        ok = ok & ~S.is_high(s)
+    return ok
+
+
+def _scalar_lt(a: LB, c: int):
+    """a < c for canonical a and Python-int c: a + (2^256 - c) < 2^256."""
+    from ..ops.limb import _ks_carry, LIMBS
+    import numpy as np
+    comp = (1 << 256) - c
+    arr = np.array([(comp >> (16 * i)) & 0xFFFF for i in range(LIMBS)],
+                   dtype=np.uint32)
+    _, carry = _ks_carry(a.v + jnp.asarray(arr))
+    return carry == 0
+
+
+def verify(msg32, sig64, pub: G.GE, table=None):
+    """Batched ECDSA verify on compact signatures; low-S enforced like
+    secp256k1_ecdsa_verify (secp256k1.c:498)."""
+    m, _ = S.from_bytes_be(msg32)
+    r, s, sig_ok = sig_parse_compact(sig64)
+    return verify_scalars(m, r, s, pub, table) & sig_ok
+
+
+def recover(msg32, sig64, recid, table=None):
+    """Recover pubkey from (sig, recid) (cf. ecdsa_sig_recover,
+    src/modules/recovery/main_impl.h:87-121). Returns (GE, ok)."""
+    r, s, sig_ok = sig_parse_compact(sig64)
+    m, _ = S.from_bytes_be(msg32)
+
+    # x = r + n if recid bit1 else r, as a field element
+    xr, _ = F.from_bytes_be(S.to_bytes_be(r))
+    add_n = (recid & 2) == 2
+    xr_hi = F.norm_weak(F.add(xr, F.fe(S.N)))
+    x = F.select(add_n, xr_hi, xr)
+    fits = jnp.where(add_n, _scalar_lt(r, _P_MINUS_N), True)
+
+    y2 = F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF))
+    y, y_ok = F.sqrt(y2)
+    y = F.normalize(y)
+    want_odd = (recid & 1) == 1
+    y = F.normalize(F.select(F.is_odd(y) != want_odd, F.neg(y), y))
+
+    Rpt = G.GE(x, y, ~y_ok)
+    rinv = S.inv(r)
+    u_point = S.mul(rinv, s)                                 # r^-1 * s
+    u_gen = S.normalize(S.neg(S.mul(rinv, m)))               # -r^-1 * m
+    qj = ecmult.ecmult(u_gen, u_point, Rpt, table)
+    ok = sig_ok & y_ok & fits & ~qj.inf & ~S.is_zero(r) & ~S.is_zero(s)
+    return G.ge_from_gej(qj), ok

@@ -1,0 +1,179 @@
+"""NUMS generators (Shallue–van de Woestijne hash-to-curve) and Pedersen
+commitments, batched for TPU.
+
+Counterpart of the reference generator/pedersen module
+(src/modules/generator/main_impl.h, pedersen_impl.h;
+include/secp256k1_generator.h):
+
+* :func:`svdw` — the Fouque–Tibouchi/SvdW map (main_impl.h:94-202),
+  re-derived as a mask/select dataflow (the reference's cmov chain maps
+  1:1 onto lane selects).
+* :func:`generator_generate` / ``_blinded`` — H = svdw(SHA256("1st
+  generation: "||key)) + svdw(SHA256("2nd generation: "||key)) [+ b*G]
+  (main_impl.h:204-264).
+* :func:`pedersen_commit` — commit = blind*G + value*H
+  (pedersen_impl.h:41-49) through ecmult_gen + ecmult_const.
+* blind-sum / tally-verify over batches (main_impl.h:330-420).
+
+Serialization: 33 bytes, prefix 10|11 for generators and 8|9 for
+commitments, where bit0 = !is_square(y) and y is recovered as the
+quadratic-residue root (ge_set_xquad semantics).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ecmult
+from ..ops import field as F
+from ..ops import group as G
+from ..ops import msm
+from ..ops import scalar as S
+from ..ops import sha256 as H
+from ..ops.limb import LB, MASK16
+
+# SvdW constants: c = sqrt(-3) (principal root), d = (c-1)/2 — computed,
+# matching the hardcoded negc/d of main_impl.h:131-132.
+_C = pow(F.P - 3, (F.P + 1) // 4, F.P)
+_NEGC = F.P - _C
+_D = (_C - 1) * pow(2, -1, F.P) % F.P
+
+
+def svdw(t: LB) -> G.GE:
+    """Map a field element to a curve point (never infinity)."""
+    t2 = F.sqr(t)
+    wd = F.norm_weak(F.add(t2, F.fe(F.B_COEFF + 1)))      # 1 + b + t^2
+    x3d = F.norm_weak(F.neg(F.FP.norm_if_needed(F.mul_int(t2, 3))))
+    jinv = F.inv(F.mul(wd, x3d))                           # inv(0) = 0
+    x1 = F.norm_weak(F.add(F.mul(F.mul(F.mul(F.fe(_NEGC), t2), x3d), jinv),
+                           F.fe(_D)))
+    x2 = F.norm_weak(F.neg(F.norm_weak(F.add(x1, F.fe(1)))))
+    wd3 = F.mul(F.sqr(wd), wd)
+    x3 = F.norm_weak(F.add(F.mul(wd3, jinv), F.fe(1)))
+
+    def curve_rhs(x):
+        return F.norm_weak(F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF)))
+
+    y1, aq = F.sqrt(curve_rhs(x1))
+    y2, bq = F.sqrt(curve_rhs(x2))
+    y3, _ = F.sqrt(curve_rhs(x3))
+
+    x = F.select(aq, x1, F.select(bq, x2, x3))
+    y = F.select(aq, y1, F.select(bq, y2, y3))
+    y = F.normalize(y)
+    # negation criterion: t odd => negate y (main_impl.h:196-202)
+    y = F.normalize(F.select(F.is_odd(F.normalize(t)), F.neg(y), y))
+    return G.GE(F.normalize(x), y, jnp.zeros(y.batch_shape, bool))
+
+
+_PREFIX1 = np.frombuffer(b"1st generation: ", dtype=np.uint8)
+_PREFIX2 = np.frombuffer(b"2nd generation: ", dtype=np.uint8)
+
+
+def generator_generate(key32, blind32=None, table=None):
+    """key32 [..., 32] -> (H GE, ok).  With blind32, adds blind*G
+    (generator_generate_blinded, main_impl.h:257)."""
+    batch = key32.shape[:-1]
+
+    def map_one(prefix):
+        pre = jnp.broadcast_to(jnp.asarray(prefix), (*batch, 16))
+        msg = jnp.concatenate([pre, key32], axis=-1)
+        b32 = H.words_to_bytes32(H.sha256_bytes(msg))
+        t, ovf = F.from_bytes_be(b32)
+        # fe_set_b32_limit semantics: reject >= p (main_impl.h:228)
+        return svdw(t), ~ovf
+
+    p1, ok1 = map_one(_PREFIX1)
+    p2, ok2 = map_one(_PREFIX2)
+    acc = G.gej_add_ge(G.gej_from_ge(p1), p2)
+    ok = ok1 & ok2
+    if blind32 is not None:
+        b, b_ovf = S.from_bytes_be(blind32)
+        bj = ecmult.ecmult_gen(b, table)
+        acc = G.gej_add(bj, acc)
+        ok = ok & ~b_ovf
+    return G.ge_from_gej(acc), ok
+
+
+def generator_serialize(gen: G.GE):
+    """33 bytes: [10 | !is_square(y)] || x  (generator_save)."""
+    sq = F.is_square(gen.y)
+    pre = jnp.where(sq, 10, 11).astype(jnp.uint8)[..., None]
+    return jnp.concatenate([pre, F.to_bytes_be(gen.x)], axis=-1)
+
+
+def _parse_xquad(b33, lo_prefix):
+    prefix = jnp.asarray(b33[..., 0], jnp.uint32)
+    x, xovf = F.from_bytes_be(b33[..., 1:])
+    y, y_ok = F.sqrt(F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF)))
+    y = F.normalize(y)
+    # principal sqrt is always a QR (p = 7 mod 8); negate if prefix bit0
+    odd_bit = (prefix & 1) == 1
+    y = F.normalize(F.select(odd_bit, F.neg(y), y))
+    ok = ((prefix & 0xFE) == lo_prefix) & ~xovf & y_ok
+    return G.GE(x, y, ~ok), ok
+
+
+def generator_parse(b33):
+    return _parse_xquad(b33, 10)
+
+
+def pedersen_scalar_from_u32_pair(hi, lo):
+    """(hi, lo) uint32 [...] -> scalar limbs [..., 16]."""
+    hi = jnp.asarray(hi, jnp.uint32)
+    lo = jnp.asarray(lo, jnp.uint32)
+    z = jnp.zeros((*hi.shape, 16), jnp.uint32)
+    z = z.at[..., 0].set(lo & MASK16)
+    z = z.at[..., 1].set(lo >> 16)
+    z = z.at[..., 2].set(hi & MASK16)
+    z = z.at[..., 3].set(hi >> 16)
+    return LB(z, MASK16)
+
+
+def pedersen_commit(blind32, value_hi, value_lo, gen: G.GE, table=None):
+    """commit = blind*G + value*H -> (GEJ, ok)
+    (pedersen_commit, main_impl.h:309; kernel pedersen_impl.h:41)."""
+    b, b_ovf = S.from_bytes_be(blind32)
+    v = pedersen_scalar_from_u32_pair(value_hi, value_lo)
+    rj = ecmult.ecmult_gen(b, table)
+    vj = ecmult.ecmult_const(v, gen)
+    cj = G.gej_add(rj, vj)
+    ok = ~b_ovf & ~cj.inf
+    return cj, ok
+
+
+def pedersen_commitment_serialize(c: G.GE):
+    """33 bytes: [8 | !is_square(y)] || x  (pedersen_commitment_save)."""
+    sq = F.is_square(c.y)
+    pre = jnp.where(sq, 8, 9).astype(jnp.uint8)[..., None]
+    return jnp.concatenate([pre, F.to_bytes_be(c.x)], axis=-1)
+
+
+def pedersen_commitment_parse(b33):
+    return _parse_xquad(b33, 8)
+
+
+def pedersen_blind_sum(blinds32, npositive: int):
+    """sum(first npositive) - sum(rest) over the leading axis
+    (pedersen_blind_sum, main_impl.h:330). Returns (blind32, ok)."""
+    b, ovf = S.from_bytes_be(blinds32)
+    n = blinds32.shape[0]
+    acc = S.zero(b.batch_shape[1:])
+    for i in range(n):
+        x = LB(b.v[i], MASK16)
+        if i < npositive:
+            acc = S.add(acc, x)
+        else:
+            acc = S.sub(S.FN.norm_if_needed(acc), x)
+        acc = S.FN.norm_weak(acc)
+    ok = ~jnp.any(ovf, axis=0)
+    return S.to_bytes_be(S.normalize(acc)), ok
+
+
+def pedersen_verify_tally(pos: G.GEJ, neg: G.GEJ):
+    """True iff sum(pos lanes) == sum(neg lanes)
+    (pedersen_verify_tally, main_impl.h:364)."""
+    sp = msm._tree_reduce(pos)
+    sn = msm._tree_reduce(neg)
+    return G.gej_eq(sp, sn)

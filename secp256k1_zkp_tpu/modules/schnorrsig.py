@@ -1,0 +1,111 @@
+"""BIP-340 Schnorr signatures, batched for TPU.
+
+Counterpart of the reference schnorrsig module
+(src/modules/schnorrsig/main_impl.h): the BIP-340 default nonce function
+with midstate-precomputed tags (:16-92), challenge computation (:106),
+sign (:122) and verify (:215).  Also x-only key utilities used here
+(extrakeys parity handling, src/modules/extrakeys/main_impl.h).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import ecmult
+from ..ops import field as F
+from ..ops import group as G
+from ..ops import scalar as S
+from ..ops import sha256 as H
+from ..ops.limb import LB
+
+
+def _xor_bytes(a, b):
+    return jnp.bitwise_xor(a, b)
+
+
+def keypair_xonly(sec32, table=None):
+    """Returns (d_even, xonly_x_bytes, pk GE (even-y), parity, ok):
+    the BIP-340 keypair with the secret negated to force even y
+    (cf. keypair_create + xonly logic, modules/extrakeys/main_impl.h)."""
+    d, d_ovf = S.from_bytes_be(sec32)
+    ok = ~d_ovf & ~S.is_zero(d)
+    pj = ecmult.ecmult_gen(d, table)
+    pk = G.ge_from_gej(pj)
+    parity = F.is_odd(pk.y)
+    d_even = S.select(parity, S.normalize(S.neg(d)), S.normalize(d))
+    pk_even = G.GE(F.normalize(pk.x),
+                   F.normalize(F.select(parity, F.neg(pk.y), pk.y)),
+                   pk.inf)
+    px32 = F.to_bytes_be(pk.x)
+    return d_even, px32, pk_even, parity, ok
+
+
+def sign(msg32, sec32, aux32=None, table=None):
+    """BIP-340 sign with the default nonce function
+    (modules/schnorrsig/main_impl.h:16-92,122-213).
+    Returns (sig64, ok)."""
+    batch = msg32.shape[:-1]
+    if aux32 is None:
+        aux32 = jnp.zeros((*batch, 32), jnp.uint8)
+    d, px32, pk, parity, ok = keypair_xonly(sec32, table)
+
+    # t = d XOR tagged_hash(BIP0340/aux, aux)
+    aux_hash = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/aux", aux32))
+    d32 = S.to_bytes_be(d)
+    t = _xor_bytes(d32, aux_hash)
+
+    # rand = tagged_hash(BIP0340/nonce, t || pk_x || msg)
+    nonce_msg = jnp.concatenate([t, px32, msg32], axis=-1)
+    rand = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/nonce",
+                                                  nonce_msg))
+    k, k_ovf = S.from_bytes_be(rand)
+    k_ok = ~S.is_zero(k)   # BIP340: k = rand mod n, fail only if 0
+
+    rj = ecmult.ecmult_gen(k, table)
+    R = G.ge_from_gej(rj)
+    r_parity = F.is_odd(R.y)
+    k = S.select(r_parity, S.normalize(S.neg(k)), k)
+    rx32 = F.to_bytes_be(R.x)
+
+    # e = tagged_hash(BIP0340/challenge, R.x || pk_x || msg) mod n
+    ch_msg = jnp.concatenate([rx32, px32, msg32], axis=-1)
+    e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
+                                                 ch_msg))
+    e, _ = S.from_bytes_be(e_b)
+
+    s = S.normalize(S.add(k, S.mul(e, d)))
+    sig64 = jnp.concatenate([rx32, S.to_bytes_be(s)], axis=-1)
+    ok = ok & k_ok
+    sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
+    return sig64, ok
+
+
+def lift_x(px32):
+    """BIP-340 lift_x: x bytes -> (GE with even y, ok)."""
+    x, xovf = F.from_bytes_be(px32)
+    y2 = F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF))
+    y, y_ok = F.sqrt(y2)
+    y = F.normalize(y)
+    y = F.normalize(F.select(F.is_odd(y), F.neg(y), y))
+    ok = y_ok & ~xovf
+    return G.GE(x, y, ~ok), ok
+
+
+def verify(msg32, sig64, px32, table=None):
+    """BIP-340 verify (modules/schnorrsig/main_impl.h:215).
+    R = s*G - e*P; accept iff !inf, even y, R.x == r."""
+    pk, pk_ok = lift_x(px32)
+    rx, rx_ovf = F.from_bytes_be(sig64[..., :32])
+    s, s_ovf = S.from_bytes_be(sig64[..., 32:])
+
+    ch_msg = jnp.concatenate([sig64[..., :32], px32, msg32], axis=-1)
+    e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
+                                                 ch_msg))
+    e, _ = S.from_bytes_be(e_b)
+    neg_e = S.normalize(S.neg(e))
+
+    rj = ecmult.ecmult(s, neg_e, pk, table)
+    R = G.ge_from_gej(rj)
+    ok = (pk_ok & ~rx_ovf & ~s_ovf & ~rj.inf
+          & ~F.is_odd(R.y) & F.eq(R.x, rx))
+    return ok

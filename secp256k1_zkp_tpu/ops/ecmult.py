@@ -69,14 +69,16 @@ def _gen_table_np(window: int = WINDOW):
 
 
 class GenTable:
-    """Device-resident fixed-base table (uploaded once per process)."""
+    """Fixed-base table.  Held as host numpy so the cached object is safe
+    to reuse across jit traces (each trace embeds it as a constant and XLA
+    uploads it to device memory once per executable)."""
 
     def __init__(self, window: int = WINDOW):
         tx, ty, tinf = _gen_table_np(window)
         self.window = window
-        self.tx = jnp.asarray(tx)
-        self.ty = jnp.asarray(ty)
-        self.tinf = jnp.asarray(tinf)
+        self.tx = tx
+        self.ty = ty
+        self.tinf = tinf
 
 
 @lru_cache(maxsize=1)

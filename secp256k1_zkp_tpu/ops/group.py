@@ -75,12 +75,13 @@ class GEJ:
 
 
 def ge_infinity(batch_shape=()) -> GE:
-    z = F.fe_zero(batch_shape)
+    # bound MASK16 (not 0) so scan carries have a stable static pytree.
+    z = LB(F.fe_zero(batch_shape).v, MASK16)
     return GE(z, z, jnp.ones(batch_shape, bool))
 
 
 def gej_infinity(batch_shape=()) -> GEJ:
-    z = F.fe_zero(batch_shape)
+    z = LB(F.fe_zero(batch_shape).v, MASK16)
     return GEJ(z, z, z, jnp.ones(batch_shape, bool))
 
 
@@ -324,6 +325,9 @@ def ge_gather(table_x, table_y, table_inf, idx) -> GE:
     (src/ecmult_gen_impl.h:237-249) — here a hardware gather, since device
     memory access patterns are not host-observable timing channels.
     """
+    table_x = jnp.asarray(table_x)
+    table_y = jnp.asarray(table_y)
+    table_inf = jnp.asarray(table_inf)
     if table_x.ndim == 2:
         # Shared (unbatched) table [T, 16]: plain gather rows by lane index.
         return GE(LB(table_x[idx], MASK16), LB(table_y[idx], MASK16),

@@ -175,8 +175,8 @@ def _ripple(v, carry_in=None):
     """Exact sequential carry propagation over the last axis.
 
     Returns (limbs <= 0xFFFF, carry_out).  Requires per-limb bound
-    <= 2^32 - 2^16 so ``limb + carry`` cannot wrap.  16 unrolled steps of
-    tiny VPU ops; replaced by an in-register loop in the Pallas kernels.
+    <= 2^32 - 2^16 so ``limb + carry`` cannot wrap.  Kept as the slow
+    exact reference; the hot path uses :func:`_ks_carry` (log depth).
     """
     k = v.shape[-1]
     outs = []
@@ -186,6 +186,41 @@ def _ripple(v, carry_in=None):
         outs.append(t & MASK16)
         c = t >> LIMB_BITS
     return jnp.stack(outs, axis=-1), c
+
+
+def _shift_up(x, k):
+    """x[i] -> x[i-k] along the last axis, zero-filled (weight *2^(16k))."""
+    pad = [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x[..., :-k], pad + [(k, 0)])
+
+
+def _ks_carry(v):
+    """Kogge–Stone carry propagation: exact, log-depth, fully limb-
+    parallel.  Requires per-limb bound <= 0x1FFFF (so every carry is 0/1).
+
+    Returns (limbs <= 0xFFFF, carry_out in {0,1}).  This is the TPU-shaped
+    replacement for the sequential carry chains the reference gets for
+    free from 64-bit adds.
+    """
+    g = (v >> LIMB_BITS).astype(jnp.bool_)        # generate (v <= 0x1FFFF)
+    p = (v & MASK16) == MASK16                    # propagate
+    k = v.shape[-1]
+    sh = 1
+    while sh < k:
+        gs = _shift_up(g, sh)
+        ps = _shift_up(p, sh)
+        g = g | (p & gs)
+        p = p & ps
+        sh *= 2
+    c_in = _shift_up(g, 1).astype(_u32)           # carry INTO each limb
+    out = (v + c_in) & MASK16
+    return out, g[..., -1].astype(_u32)
+
+
+def _ks_add(a, b):
+    """Exact a + b on <=0xFFFF-limb vectors via one KS round.
+    Returns (limbs <= 0xFFFF, carry_out)."""
+    return _ks_carry(a + b)
 
 
 # ---------------------------------------------------------------------------
@@ -272,41 +307,36 @@ class Mod:
         cols = self.fold(a)
         v, bound = cols.v, cols.bound
         pad = [(0, 0)] * (v.ndim - 1)
-        # Two parallel carry passes, collecting top carries into a separate
-        # overflow accumulator instead of folding them in-pass (folding
-        # in-pass converges too slowly for reds with large limbs, e.g. n).
-        ov = jnp.zeros(v.shape[:-1], _u32)
-        ov_bound = 0
-        while bound > 0x10000 + 2:
-            lo = v & MASK16
-            c = v >> LIMB_BITS
-            v = lo + jnp.pad(c[..., :-1], pad + [(1, 0)])
-            ov = ov + c[..., -1]
-            ov_bound += bound >> LIMB_BITS
-            bound = MASK16 + (bound >> LIMB_BITS)
-        # value = v + ov * 2^256; fold ov via red in one exact mini-mul.
+        # One parallel carry pass always brings limbs under 0x1FFFF (the
+        # Kogge–Stone precondition); the top carry goes to an overflow
+        # accumulator rather than being folded in-pass (in-pass folding
+        # converges too slowly for reds with large limbs, e.g. n's).
+        lo = v & MASK16
+        c = v >> LIMB_BITS
+        v = lo + jnp.pad(c[..., :-1], pad + [(1, 0)])
+        ov = c[..., -1]
+        ov_bound = bound >> LIMB_BITS
+        # KS1: v <= 0x1FFFE; exact carries; carry-out joins ov.
+        v, c1 = _ks_carry(v)
+        ov = ov + c1
+        ov_bound += 1
         assert ov_bound <= MASK16, "overflow accumulator exceeded 16 bits"
-        if ov_bound > 0:
-            f = mul_cols(LB(ov[..., None], ov_bound), self._red_lb())
-            fv = jnp.pad(f.v, pad + [(0, LIMBS - f.v.shape[-1])])
-            v = v + fv
-            bound = bound + f.bound
-        # Exact finish: ripple, fold carry, ripple, fold carry, ripple.
-        # t1 is tiny (value < (bound)*2^240*16 => t1 <= 2*bound>>16 + 1).
-        assert bound <= U32_MAX - MASK16
-        v, t1 = _ripple(v)
-        t1_bound = 2 * (bound >> LIMB_BITS) + 1
-        assert t1_bound <= MASK16
-        f = mul_cols(LB(t1[..., None], t1_bound), self._red_lb())
+        # Fold ov*red (value = v + ov*2^256; 2^256 === red).  f's columns
+        # are <= 0x1FFFE; split exactly into lo + 2^16*hi with hi in {0,1}
+        # so the next KS round's inputs stay <= 0x1FFFF.
+        f = mul_cols(LB(ov[..., None], ov_bound), self._red_lb())
+        assert f.v.shape[-1] <= LIMBS and f.bound <= 2 * MASK16
         fv = jnp.pad(f.v, pad + [(0, LIMBS - f.v.shape[-1])])
-        v, t2 = _ripple(v + fv)
-        # t2 in {0,1}; after this fold value < 2^256 so the final ripple's
-        # carry-out is provably zero (see module docstring design note).
-        for j, rl in enumerate(self._red_limbs):
-            if rl == 0:
-                continue
-            v = v.at[..., j].add(t2 * _u32(rl))
-        v, _t3 = _ripple(v)
+        # Add f in two KS rounds (single-round inputs could reach 0x1FFFF,
+        # where a carry of 2 breaks binary KS).  At most one of c2a/c2b
+        # can be 1: if v+flo wrapped, the remainder is < 2^161.
+        v, c2a = _ks_carry(v + (fv & MASK16))
+        v, c2b = _ks_carry(v + _shift_up(fv >> LIMB_BITS, 1))
+        c2 = c2a + c2b
+        # KS4: fold c2 (0/1) * red; value is now provably < 2^256, so the
+        # final carry-out is zero.
+        redv = jnp.pad(self._red_lb().v, [(0, LIMBS - self.red_len)])
+        v, _c3 = _ks_carry(v + c2[..., None] * redv)
         return LB(v, MASK16)
 
     def normalize(self, a: LB) -> LB:
@@ -320,7 +350,7 @@ class Mod:
         red = self._red_lb()
         redv = jnp.pad(red.v, [(0, LIMBS - red.v.shape[-1])])
         redv = jnp.broadcast_to(redv, x.v.shape)
-        t, c = _ripple(x.v + redv)
+        t, c = _ks_carry(x.v + redv)
         ge = (c > 0)[..., None]
         return LB(jnp.where(ge, t, x.v), MASK16)
 
@@ -368,7 +398,7 @@ class Mod:
         odd = a.v[..., 0] & 1
         mv = jnp.asarray(np.array(self._mod_limbs, dtype=np.uint32))
         t = a.v + mv * odd[..., None]  # bound 2*MASK16 ok
-        t, c = _ripple(t)  # c in {0,1} = bit 256
+        t, c = _ks_carry(t)  # c in {0,1} = bit 256
         hi_in = jnp.concatenate([t[..., 1:], c[..., None]], axis=-1)
         half = (t >> 1) | ((hi_in & 1) << (LIMB_BITS - 1))
         return LB(half, MASK16)
@@ -451,7 +481,7 @@ class Mod:
         red = self._red_lb()
         redv = jnp.pad(red.v, [(0, LIMBS - red.v.shape[-1])])
         redv = jnp.broadcast_to(redv, v.shape)
-        t, c = _ripple(v + redv)
+        t, c = _ks_carry(v + redv)
         overflow = c > 0
         return LB(jnp.where(overflow[..., None], t, v), MASK16), overflow
 

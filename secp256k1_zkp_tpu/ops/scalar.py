@@ -77,13 +77,13 @@ def is_high(a) -> jnp.ndarray:
     """True where a > (n-1)/2 (cf. scalar_is_high, src/scalar.h:83-85).
 
     Computed as: a > h  <=>  a + (2^256 - 1 - h) >= 2^256."""
-    from .limb import _ripple, LIMBS, MASK16
+    from .limb import _ks_carry, LIMBS, MASK16
     import numpy as np
     x = FN.normalize(a)
     c = (1 << 256) - 1 - N_HALF
     carr = np.array([(c >> (16 * i)) & MASK16 for i in range(LIMBS)],
                     dtype=np.uint32)
-    _, carry = _ripple(x.v + jnp.asarray(carr))
+    _, carry = _ks_carry(x.v + jnp.asarray(carr))
     return carry > 0
 
 

@@ -15,8 +15,15 @@ if "host_platform_device_count" not in flags and \
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: the big scan programs (ecmult etc.) are
+# expensive to compile on CPU; cache across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/secp_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

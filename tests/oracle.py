@@ -225,6 +225,71 @@ def schnorr_verify(msg: bytes, pubx: int, sig64: bytes) -> bool:
     return True
 
 
+# -- generators / Pedersen (zkp modules) --------------------------------------
+
+_SVDW_C = pow(P - 3, (P + 1) // 4, P)
+_SVDW_D = (_SVDW_C - 1) * pow(2, -1, P) % P
+
+
+def svdw(t: int):
+    """Shallue–van de Woestijne map, matching the reference's formulas and
+    tie-breaking (modules/generator/main_impl.h:94-202)."""
+    def sqrt_qr(a):
+        r = pow(a, (P + 1) // 4, P)
+        return r, r * r % P == a
+
+    t2 = t * t % P
+    wd = (1 + 7 + t2) % P
+    x3d = (-3 * t2) % P
+    j = wd * x3d % P
+    jinv = pow(j, P - 2, P) if j else 0
+    x1 = (_SVDW_D - _SVDW_C * t2 % P * x3d % P * jinv) % P
+    x2 = (-(x1 + 1)) % P
+    x3 = (1 + wd * wd % P * wd % P * jinv) % P
+    y1, aq = sqrt_qr((x1 ** 3 + 7) % P)
+    y2, bq = sqrt_qr((x2 ** 3 + 7) % P)
+    y3, _ = sqrt_qr((x3 ** 3 + 7) % P)
+    if aq:
+        x, y = x1, y1
+    elif bq:
+        x, y = x2, y2
+    else:
+        x, y = x3, y3
+    if t & 1:
+        y = P - y
+    return (x, y)
+
+
+def generator_generate(key32: bytes, blind32: bytes | None = None):
+    t1 = int.from_bytes(sha256(b"1st generation: " + key32), "big")
+    t2 = int.from_bytes(sha256(b"2nd generation: " + key32), "big")
+    if t1 >= P or t2 >= P:
+        return None
+    acc = point_add(svdw(t1), svdw(t2))
+    if blind32 is not None:
+        acc = point_add(acc, point_mul(int.from_bytes(blind32, "big"), G))
+    return acc
+
+
+def is_square_fe(a: int) -> bool:
+    return a == 0 or pow(a, (P - 1) // 2, P) == 1
+
+
+def generator_serialize(pt) -> bytes:
+    return bytes([11 ^ is_square_fe(pt[1])]) + pt[0].to_bytes(32, "big")
+
+
+def pedersen_commit(blind32: bytes, value: int, gen):
+    b = int.from_bytes(blind32, "big")
+    if b >= N:
+        return None
+    return point_add(point_mul(b, G), point_mul(value, gen))
+
+
+def pedersen_commitment_serialize(pt) -> bytes:
+    return bytes([9 ^ is_square_fe(pt[1])]) + pt[0].to_bytes(32, "big")
+
+
 # -- helpers for tests --------------------------------------------------------
 
 def fe_limbs(x: int):
