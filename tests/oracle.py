@@ -290,6 +290,130 @@ def pedersen_commitment_serialize(pt) -> bytes:
     return bytes([9 ^ is_square_fe(pt[1])]) + pt[0].to_bytes(32, "big")
 
 
+# -- ElligatorSwift (BIP-324) --------------------------------------------------
+
+_ES_C0 = pow(P - 3, (P + 1) // 4, P)
+_ES_C1 = (_ES_C0 - 1) * pow(2, -1, P) % P
+_ES_C2 = (-_ES_C0 - 1) * pow(2, -1, P) % P
+_ES_C3 = (P - _ES_C1) % P
+_ES_C4 = (_ES_C1 + 1) % P
+
+
+def _x_on_curve(x):
+    return is_square_fe((pow(x, 3, P) + 7) % P)
+
+
+def xswiftec(u, t):
+    u = u % P or 1
+    s = t * t % P or 1
+    g = (pow(u, 3, P) + 7) % P
+    if (g + s) % P == 0:
+        s = 4 * s % P
+    p_ = (g + s) % P
+    d = 3 * s * u * u % P
+    n = (d * u - p_ * p_) % P
+    if d and is_square_fe((pow(n, 3, P) * d + 7 * pow(d, 4, P)) % P):
+        return n * pow(d, -1, P) % P
+    n2 = (_ES_C1 * s + _ES_C2 * g) % P * u % P
+    if is_square_fe((pow(n2, 3, P) * p_ + 7 * pow(p_, 4, P)) % P):
+        return n2 * pow(p_, -1, P) % P
+    n1 = (-(n2 + p_ * u)) % P
+    return n1 * pow(p_, -1, P) % P
+
+
+def xswiftec_inv(x, u, c):
+    """Returns t or None (mirrors xswiftec_inv_var semantics)."""
+    if not (c & 2):
+        if _x_on_curve((-x - u) % P):
+            return None
+        den = (-(u * u + u * x + x * x)) % P
+        g = (pow(u, 3, P) + 7) % P
+        if not is_square_fe(den * g % P):
+            return None
+        s = pow(den, -1, P) * g % P
+        v = x
+    else:
+        s = (x - u) % P
+        if not is_square_fe(s):
+            return None
+        q = (-s * (4 * (pow(u, 3, P) + 7) + 3 * u * u % P * s)) % P
+        if not is_square_fe(q):
+            return None
+        r = pow(q, (P + 1) // 4, P)
+        if (c & 1) and r == 0:
+            return None
+        if s == 0:
+            return None
+        v = (r * pow(s, -1, P) - u) % P * pow(2, -1, P) % P
+    w = pow(s, (P + 1) // 4, P)
+    if w * w % P != s:
+        return None
+    if (c & 5) == 0 or (c & 5) == 5:
+        w = (P - w) % P
+    cmul = _ES_C4 if (c & 1) else _ES_C3
+    return w * ((cmul * u + v) % P) % P
+
+
+def ellswift_decode(ell64: bytes):
+    u = int.from_bytes(ell64[:32], "big") % P
+    t = int.from_bytes(ell64[32:], "big") % P
+    x = xswiftec(u, t)
+    y = pow((pow(x, 3, P) + 7) % P, (P + 1) // 4, P)
+    if (y & 1) != (t & 1):
+        y = P - y
+    return (x, y)
+
+
+def _ellswift_prng(prefix: bytes, cnt: int) -> bytes:
+    return sha256(prefix + cnt.to_bytes(4, "little"))
+
+
+def ellswift_encode(pub, rnd32: bytes) -> bytes:
+    """Mirrors ellswift_encode (tag secp256k1_ellswift_encode)."""
+    th = sha256(b"secp256k1_ellswift_encode")
+    ser33 = bytes([2 + (pub[1] & 1)]) + pub[0].to_bytes(32, "big")
+    prefix = th + th + ser33 + b"\x00" * 31 + rnd32
+    return _ellswift_search(pub, prefix)
+
+
+def ellswift_create(sec: int, auxrnd32: bytes | None = None) -> bytes:
+    th = sha256(b"secp256k1_ellswift_create")
+    prefix = th + th + sec.to_bytes(32, "big") + b"\x00" * 32
+    if auxrnd32 is not None:
+        prefix += auxrnd32
+    return _ellswift_search(point_mul(sec, G), prefix)
+
+
+def _ellswift_search(pub, prefix: bytes) -> bytes:
+    cnt = 0
+    branches_left = 0
+    pool = b""
+    while True:
+        if branches_left == 0:
+            pool = _ellswift_prng(prefix, cnt)
+            cnt += 1
+            branches_left = 64
+        branches_left -= 1
+        branch = (pool[branches_left >> 1] >> ((branches_left & 1) << 2)) & 7
+        u32 = _ellswift_prng(prefix, cnt)
+        cnt += 1
+        u = int.from_bytes(u32, "big") % P
+        t = xswiftec_inv(pub[0], u, branch)
+        if t is not None:
+            if (t & 1) != (pub[1] & 1):
+                t = P - t
+            return u32 + t.to_bytes(32, "big")
+
+
+def ellswift_xdh_bip324(ell_a: bytes, ell_b: bytes, sec: int,
+                        party_a: bool) -> bytes:
+    theirs = ell_b if party_a else ell_a
+    pt = ellswift_decode(theirs)
+    shared = point_mul(sec, pt)
+    return tagged_hash("bip324_ellswift_xonly_ecdh",
+                       ell_a + ell_b + shared[0].to_bytes(32, "big"))
+
+
 # -- helpers for tests --------------------------------------------------------
 
 def fe_limbs(x: int):

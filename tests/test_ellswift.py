@@ -1,0 +1,115 @@
+"""ElligatorSwift parity vs the oracle (mirrors modules/ellswift tests +
+doc/ellswift.md semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from secp256k1_zkp_tpu.modules import ellswift
+from secp256k1_zkp_tpu.ops import field as F, group as G
+from secp256k1_zkp_tpu.ops.limb import LB, MASK16, limbs_to_int_np
+
+import oracle
+
+
+def mk_lb(vals):
+    return LB(jnp.asarray(np.array(
+        [[(v >> (16 * i)) & 0xFFFF for i in range(16)] for v in vals],
+        dtype=np.uint32)), MASK16)
+
+
+def b2a(bs):
+    return jnp.asarray(np.array([list(b) for b in bs], dtype=np.uint8))
+
+
+def test_xswiftec_forward(rng):
+    us = [int.from_bytes(rng.bytes(32), "big") % oracle.P
+          for _ in range(5)] + [0]
+    ts = [int.from_bytes(rng.bytes(32), "big") % oracle.P
+          for _ in range(5)] + [0]
+    x = jax.jit(ellswift.xswiftec)(mk_lb(us), mk_lb(ts))
+    got = [limbs_to_int_np(r) for r in np.asarray(x.v)]
+    assert got == [oracle.xswiftec(u, t) for u, t in zip(us, ts)]
+
+
+def test_xswiftec_inv_roundtrip(rng):
+    n = 4
+    xs, us = [], []
+    while len(xs) < n:
+        x = int.from_bytes(rng.bytes(32), "big") % oracle.P
+        if oracle._x_on_curve(x):
+            xs.append(x)
+            us.append(int.from_bytes(rng.bytes(32), "big") % oracle.P or 1)
+    for c in range(8):
+        t, ok = jax.jit(lambda a, b, c=c: ellswift.xswiftec_inv(a, b, c))(
+            mk_lb(xs), mk_lb(us))
+        ok = np.asarray(ok)
+        tv = [limbs_to_int_np(r) for r in np.asarray(t.v)]
+        for i in range(n):
+            exp = oracle.xswiftec_inv(xs[i], us[i], c)
+            assert bool(ok[i]) == (exp is not None), (c, i)
+            if exp is not None:
+                assert tv[i] == exp, (c, i)
+                # and it roundtrips through the forward map
+                assert oracle.xswiftec(us[i], exp) == xs[i]
+
+
+def test_decode_matches_oracle(rng):
+    ells = [rng.bytes(64) for _ in range(6)]
+    pt, ok = jax.jit(ellswift.decode)(b2a(ells))
+    assert np.asarray(ok).all()
+    xs = np.asarray(F.normalize(pt.x).v)
+    ys = np.asarray(F.normalize(pt.y).v)
+    for i, e in enumerate(ells):
+        assert (limbs_to_int_np(xs[i]),
+                limbs_to_int_np(ys[i])) == oracle.ellswift_decode(e)
+
+
+def test_encode_roundtrip_and_parity(rng):
+    n = 3
+    secs = [int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+            for _ in range(n)]
+    pubs = [oracle.point_mul(d, oracle.G) for d in secs]
+    rnds = [rng.bytes(32) for _ in range(n)]
+    pub_ge = G.GE(mk_lb([p[0] for p in pubs]), mk_lb([p[1] for p in pubs]),
+                  jnp.zeros(n, bool))
+    ell, ok = jax.jit(ellswift.encode)(pub_ge, b2a(rnds))
+    assert np.asarray(ok).all()
+    ell = np.asarray(ell)
+    for i in range(n):
+        exp = oracle.ellswift_encode(pubs[i], rnds[i])
+        assert bytes(ell[i]) == exp, i
+        assert oracle.ellswift_decode(bytes(ell[i])) == pubs[i]
+
+
+def test_create_matches_oracle(rng):
+    n = 2
+    secs = [int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+            for _ in range(n)]
+    auxs = [rng.bytes(32) for _ in range(n)]
+    sec_b = b2a([s.to_bytes(32, "big") for s in secs])
+    ell, ok = jax.jit(ellswift.create)(sec_b, b2a(auxs))
+    assert np.asarray(ok).all()
+    ell = np.asarray(ell)
+    for i in range(n):
+        assert bytes(ell[i]) == oracle.ellswift_create(secs[i], auxs[i]), i
+
+
+def test_xdh(rng):
+    a = int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+    b = int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+    ell_a = oracle.ellswift_create(a)
+    ell_b = oracle.ellswift_create(b)
+    ell_a_j, ell_b_j = b2a([ell_a, ell_a]), b2a([ell_b, ell_b])
+    secs = b2a([a.to_bytes(32, "big"), b.to_bytes(32, "big")])
+    # lane 0: party A with sec a; lane 1: party B with sec b -> equal keys
+    outA, okA = jax.jit(lambda ea, eb, s: ellswift.xdh(ea, eb, s, True))(
+        ell_a_j, ell_b_j, secs)
+    outB, okB = jax.jit(lambda ea, eb, s: ellswift.xdh(ea, eb, s, False))(
+        ell_a_j, ell_b_j, secs)
+    assert np.asarray(okA).all() and np.asarray(okB).all()
+    sA = bytes(np.asarray(outA)[0])
+    sB = bytes(np.asarray(outB)[1])
+    assert sA == sB
+    assert sA == oracle.ellswift_xdh_bip324(ell_a, ell_b, a, True)
