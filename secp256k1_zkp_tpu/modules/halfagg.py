@@ -1,0 +1,89 @@
+"""Schnorr half-aggregation, batched for TPU.
+
+Counterpart of the reference schnorrsig_halfagg module
+(src/modules/schnorrsig_halfagg/main_impl.h;
+include/secp256k1_schnorrsig_halfagg.h): n BIP-340 signatures compress
+to 32*(n+1) bytes.  Randomizers z_i are chained tagged hashes
+("HalfAgg/randomizer") over the transcript r_0||pk_0||m_0||...; z_0 = 1.
+
+Batched over aggregates; n (signatures per aggregate) is static.
+The verifier computes rhs = sum z_i*(R_i + e_i*P_i) — a natural MSM
+(SURVEY.md §7.1 step 8 routes this through the sharded MSM engine for
+large n; the per-entry form below is used for small n).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import ecmult
+from ..ops import field as F
+from ..ops import group as G
+from ..ops import scalar as S
+from ..ops import sha256 as H
+from . import schnorrsig
+
+
+def aggregate(msgs32, pubx32, sigs64, n: int):
+    """Aggregate n signatures -> (aggsig [..., 32*(n+1)] uint8, ok).
+
+    msgs32/pubx32: [..., n, 32]; sigs64: [..., n, 64].
+    (schnorrsig_aggregate, main_impl.h:104)."""
+    batch = msgs32.shape[:-2]
+    stream = H.Sha256Stream(batch, tag="HalfAgg/randomizer")
+    s_acc = S.zero(batch)
+    rs = []
+    for i in range(n):
+        r_i = sigs64[..., i, :32]
+        stream.write(jnp.concatenate(
+            [r_i, pubx32[..., i, :], msgs32[..., i, :]], axis=-1))
+        s_i, _ = S.from_bytes_be(sigs64[..., i, 32:])
+        if i == 0:
+            term = s_i
+        else:
+            z_b = H.words_to_bytes32(stream.finalize_words())
+            z_i, _ = S.from_bytes_be(z_b)
+            term = S.mul(z_i, s_i)
+        s_acc = S.FN.norm_weak(S.add(s_acc, term))
+        rs.append(r_i)
+    out = jnp.concatenate(rs + [S.to_bytes_be(S.normalize(s_acc))], axis=-1)
+    return out, jnp.ones(batch, bool)
+
+
+def aggverify(msgs32, pubx32, aggsig, n: int, table=None):
+    """Verify a half-aggregate (schnorrsig_aggverify, main_impl.h:108).
+
+    Returns a bool lane mask."""
+    batch = msgs32.shape[:-2]
+    stream = H.Sha256Stream(batch, tag="HalfAgg/randomizer")
+    rhs = G.gej_infinity(batch)
+    ok = jnp.ones(batch, bool)
+    for i in range(n):
+        r_i = aggsig[..., 32 * i:32 * (i + 1)]
+        pk_i = pubx32[..., i, :]
+        m_i = msgs32[..., i, :]
+        # pubkey must lift
+        P_i, p_ok = schnorrsig.lift_x(pk_i)
+        ok = ok & p_ok
+        # z_i from the chained transcript
+        stream.write(jnp.concatenate([r_i, pk_i, m_i], axis=-1))
+        # R_i = lift_x(r_i) with EVEN y (ge_set_xo_var(..., 0))
+        R_i, r_ok = schnorrsig.lift_x(r_i)
+        ok = ok & r_ok
+        # e_i = BIP340 challenge
+        e_b = H.words_to_bytes32(H.tagged_hash_bytes(
+            "BIP0340/challenge",
+            jnp.concatenate([r_i, pk_i, m_i], axis=-1)))
+        e_i, _ = S.from_bytes_be(e_b)
+        t_i = G.gej_add_ge(ecmult.ecmult_const(e_i, P_i), R_i)
+        if i > 0:
+            z_b = H.words_to_bytes32(stream.finalize_words())
+            z_i, _ = S.from_bytes_be(z_b)
+            # z_i * T_i via the variable-point engine (T_i as affine)
+            t_aff = G.ge_from_gej(t_i)
+            t_i = ecmult.ecmult_const(z_i, t_aff)
+        rhs = G.gej_add(rhs, t_i)
+    s, s_ovf = S.from_bytes_be(aggsig[..., 32 * n:32 * (n + 1)])
+    ok = ok & ~s_ovf
+    lhs = ecmult.ecmult_gen(s, table)
+    return ok & G.gej_eq(lhs, rhs)

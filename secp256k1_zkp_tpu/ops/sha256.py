@@ -232,3 +232,62 @@ def tagged_hash_bytes(tag: str, msg):
     mid = jnp.asarray(np.array(sha256_host.tagged_midstate(tag),
                                dtype=np.uint32))
     return sha256_bytes(msg, init_state=mid, consumed_bytes=64)
+
+
+class Sha256Stream:
+    """Incremental SHA-256 over statically-sized writes (batched).
+
+    Mirrors the reference's streaming sha256 object (src/hash.h:19-23):
+    protocols like half-aggregation keep a running transcript and
+    finalize *copies* of it at every step.  All sizes are static, so the
+    pending-buffer occupancy is tracked in Python."""
+
+    def __init__(self, batch_shape=(), tag: str | None = None):
+        if tag is None:
+            self.state = jnp.broadcast_to(jnp.asarray(_INIT),
+                                          (*batch_shape, 8))
+            self.total = 0
+        else:
+            mid = jnp.asarray(np.array(sha256_host.tagged_midstate(tag),
+                                       dtype=np.uint32))
+            self.state = jnp.broadcast_to(mid, (*batch_shape, 8))
+            self.total = 64
+        self.pending = None  # [..., k] uint8, k < 64 (static)
+
+    def copy(self):
+        s = object.__new__(Sha256Stream)
+        s.state, s.total, s.pending = self.state, self.total, self.pending
+        return s
+
+    def write(self, data):
+        """data: [..., L] uint8, static L."""
+        buf = data if self.pending is None else \
+            jnp.concatenate([self.pending, data], axis=-1)
+        nblk = buf.shape[-1] // 64
+        if nblk:
+            words = _bytes_to_words_generic(buf[..., :64 * nblk])
+            st = self.state
+            for i in range(nblk):
+                st = compress(st, words[..., 16 * i:16 * (i + 1)])
+            self.state = st
+        rem = buf.shape[-1] % 64
+        self.pending = buf[..., buf.shape[-1] - rem:] if rem else None
+        self.total += data.shape[-1]
+        return self
+
+    def finalize_words(self):
+        """Returns the digest [..., 8] words; the stream remains usable
+        (finalization happens on a copy of the running state)."""
+        tail = self.pending if self.pending is not None else \
+            jnp.zeros((*self.state.shape[:-1], 0), jnp.uint8)
+        return sha256_bytes(tail, init_state=self.state,
+                            consumed_bytes=self.total - tail.shape[-1])
+
+
+def _bytes_to_words_generic(b):
+    b = jnp.asarray(b, _u32)
+    s = b.shape[:-1]
+    n = b.shape[-1] // 4
+    b4 = b.reshape(*s, n, 4)
+    return (b4[..., 0] << 24) | (b4[..., 1] << 16) | (b4[..., 2] << 8) \
+        | b4[..., 3]
