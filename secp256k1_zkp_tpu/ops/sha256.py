@@ -132,36 +132,37 @@ class RFC6979:
     (seckey32||msg32), optionally +32 (extra) as the reference's default
     nonce function builds it (src/secp256k1.c:519-560)."""
 
-    def __init__(self, keydata_words):
-        """keydata_words: [..., 16] (64 bytes) or [..., 24] (96 bytes)."""
-        batch = keydata_words.shape[:-1]
+    def __init__(self, keydata_words=None, keydata_bytes=None):
+        """keydata_words: [..., W] words, or keydata_bytes: [..., L]
+        uint8 (any static length, e.g. rangeproof's 98+hlen-byte seeds)."""
+        if keydata_bytes is not None:
+            kb = jnp.asarray(keydata_bytes, jnp.uint8)
+        else:
+            W = keydata_words.shape[-1]
+            batch0 = keydata_words.shape[:-1]
+            kb = jnp.stack([(keydata_words >> 24) & 0xFF,
+                            (keydata_words >> 16) & 0xFF,
+                            (keydata_words >> 8) & 0xFF,
+                            keydata_words & 0xFF],
+                           axis=-1).reshape(*batch0, 4 * W) \
+                .astype(jnp.uint8)
+        batch = kb.shape[:-1]
         v = jnp.full((*batch, 8), _u32(0x01010101))
         k = jnp.zeros((*batch, 8), _u32)
-        zero = jnp.zeros((*batch, 1), _u32) if False else None
-        k = self._hmac_vbyte(k, v, keydata_words, 0x00)
+        k = self._hmac_vbyte(k, v, kb, 0x00)
         v = hmac_sha256(k, v)
-        k = self._hmac_vbyte(k, v, keydata_words, 0x01)
+        k = self._hmac_vbyte(k, v, kb, 0x01)
         v = hmac_sha256(k, v)
         self.k, self.v = k, v
 
     @staticmethod
-    def _hmac_vbyte(k, v, keydata_words, sep_byte):
-        """HMAC(k, v || sep_byte || keydata).  The message is 32 + 1 + 4*W
-        bytes — not word-aligned, so repack into words with a 1-byte shift.
-        """
-        W = keydata_words.shape[-1]
+    def _hmac_vbyte(k, v, keydata_bytes, sep_byte):
+        """HMAC(k, v || sep_byte || keydata) — byte message (the 1-byte
+        separator makes it non-word-aligned)."""
         batch = v.shape[:-1]
-        # bytes: v(32) sep(1) keydata(4W) -> words
         vb = words_to_bytes32(v)
-        kb = jnp.stack([(keydata_words >> 24) & 0xFF,
-                        (keydata_words >> 16) & 0xFF,
-                        (keydata_words >> 8) & 0xFF,
-                        keydata_words & 0xFF],
-                       axis=-1).reshape(*batch, 4 * W).astype(jnp.uint8)
         sep = jnp.full((*batch, 1), sep_byte, jnp.uint8)
-        msg = jnp.concatenate([vb, sep, kb], axis=-1)  # 33+4W bytes
-        # pad to word multiple with zeros, track true length via manual
-        # padding: simpler to go through a generic byte-message hash:
+        msg = jnp.concatenate([vb, sep, keydata_bytes], axis=-1)
         return hmac_sha256_bytes(k, msg)
 
     def generate32(self):

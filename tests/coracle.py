@@ -1,0 +1,171 @@
+"""ctypes bindings to the *reference* C library, used purely as a test
+oracle (SURVEY.md §7.0 "bit-exactness oracle").
+
+Builds BlockstreamResearch/secp256k1-zkp out-of-tree (all modules on)
+into ~/.cache and drives it for differential tests of the zkp modules
+(pedersen/rangeproof/surjection/whitelist/s2c/adaptor).  Tests skip if
+the reference or a compiler is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+REF = "/root/reference"
+CACHE = os.path.expanduser("~/.cache/secp_ref_build")
+SO = os.path.join(CACHE, "lib", "libsecp256k1.so")
+
+_lib = None
+
+
+def _build():
+    if os.path.exists(SO):
+        return True
+    if not os.path.exists(REF):
+        return False
+    os.makedirs(CACHE, exist_ok=True)
+    mods = ["RECOVERY", "GENERATOR", "RANGEPROOF", "SURJECTIONPROOF",
+            "WHITELIST", "MUSIG", "ECDSA_S2C", "ECDSA_ADAPTOR",
+            "SCHNORRSIG_HALFAGG", "BPPP"]
+    flags = [f"-DSECP256K1_ENABLE_MODULE_{m}=ON" for m in mods]
+    try:
+        subprocess.run(
+            ["cmake", REF, "-DCMAKE_BUILD_TYPE=Release",
+             "-DSECP256K1_EXPERIMENTAL=ON", "-DSECP256K1_BUILD_TESTS=OFF",
+             "-DSECP256K1_BUILD_BENCHMARK=OFF",
+             "-DSECP256K1_BUILD_EXHAUSTIVE_TESTS=OFF"] + flags,
+            cwd=CACHE, check=True, capture_output=True, timeout=300)
+        subprocess.run(["make", "-j4"], cwd=CACHE, check=True,
+                       capture_output=True, timeout=600)
+        return os.path.exists(SO)
+    except Exception:
+        return False
+
+
+def available() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    if not _build():
+        return False
+    try:
+        _lib = ctypes.CDLL(SO)
+        return True
+    except OSError:
+        return False
+
+
+class Ref:
+    """Thin wrapper; create one per test module."""
+
+    def __init__(self):
+        assert available()
+        self.lib = ctypes.CDLL(SO)
+        self.lib.secp256k1_context_create.restype = ctypes.c_void_p
+        self.ctx = ctypes.c_void_p(
+            self.lib.secp256k1_context_create(0x0301 | 0x0100))
+        # SECP256K1_CONTEXT_SIGN|VERIFY legacy flags: use 0x0301|0x0101?
+        # modern lib: CONTEXT_NONE works for all but keeps ecmult_gen —
+        # pass SECP256K1_CONTEXT_SIGN|VERIFY = (1|(1<<0)...): simplest is
+        # SECP256K1_CONTEXT_SIGN = 0x0201? use both legacy values:
+        if not self.ctx:
+            self.ctx = ctypes.c_void_p(
+                self.lib.secp256k1_context_create(1))
+
+    # -- generator / pedersen -------------------------------------------
+    def generator_generate(self, key32: bytes) -> bytes | None:
+        gen = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_generator_generate(self.ctx, gen, key32)
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(33)
+        self.lib.secp256k1_generator_serialize(self.ctx, out, gen)
+        return out.raw
+
+    def generator_import(self, ser33: bytes):
+        gen = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_generator_parse(self.ctx, gen, ser33)
+        return gen if r else None
+
+    def pedersen_commit(self, blind32: bytes, value: int,
+                        gen_ser33: bytes) -> bytes | None:
+        gen = self.generator_import(gen_ser33)
+        if gen is None:
+            return None
+        commit = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_pedersen_commit(
+            self.ctx, commit, blind32, ctypes.c_uint64(value), gen)
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(33)
+        self.lib.secp256k1_pedersen_commitment_serialize(self.ctx, out,
+                                                         commit)
+        return out.raw
+
+    def _commit_obj(self, commit_ser33: bytes):
+        c = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_pedersen_commitment_parse(self.ctx, c,
+                                                         commit_ser33)
+        return c if r else None
+
+    # -- rangeproof -------------------------------------------------------
+    def rangeproof_sign(self, min_value: int, commit_ser33: bytes,
+                        blind32: bytes, nonce32: bytes, exp: int,
+                        min_bits: int, value: int, gen_ser33: bytes,
+                        message: bytes = b"",
+                        extra: bytes = b"") -> bytes | None:
+        commit = self._commit_obj(commit_ser33)
+        gen = self.generator_import(gen_ser33)
+        if commit is None or gen is None:
+            return None
+        proof = ctypes.create_string_buffer(5134)
+        plen = ctypes.c_size_t(5134)
+        r = self.lib.secp256k1_rangeproof_sign(
+            self.ctx, proof, ctypes.byref(plen),
+            ctypes.c_uint64(min_value), commit, blind32, nonce32,
+            ctypes.c_int(exp), ctypes.c_int(min_bits),
+            ctypes.c_uint64(value),
+            message if message else None, ctypes.c_size_t(len(message)),
+            extra if extra else None, ctypes.c_size_t(len(extra)), gen)
+        if not r:
+            return None
+        return proof.raw[:plen.value]
+
+    def rangeproof_verify(self, commit_ser33: bytes, proof: bytes,
+                          gen_ser33: bytes, extra: bytes = b"") -> bool:
+        commit = self._commit_obj(commit_ser33)
+        gen = self.generator_import(gen_ser33)
+        if commit is None or gen is None:
+            return False
+        mn = ctypes.c_uint64()
+        mx = ctypes.c_uint64()
+        return bool(self.lib.secp256k1_rangeproof_verify(
+            self.ctx, ctypes.byref(mn), ctypes.byref(mx), commit,
+            proof, ctypes.c_size_t(len(proof)),
+            extra if extra else None, ctypes.c_size_t(len(extra)), gen))
+
+    def rangeproof_rewind(self, blind_out_expected: bool,
+                          commit_ser33: bytes, proof: bytes,
+                          nonce32: bytes, gen_ser33: bytes,
+                          extra: bytes = b""):
+        commit = self._commit_obj(commit_ser33)
+        gen = self.generator_import(gen_ser33)
+        if commit is None or gen is None:
+            return None
+        blind = ctypes.create_string_buffer(32)
+        value = ctypes.c_uint64()
+        msg = ctypes.create_string_buffer(4096)
+        mlen = ctypes.c_size_t(4096)
+        mn = ctypes.c_uint64()
+        mx = ctypes.c_uint64()
+        r = self.lib.secp256k1_rangeproof_rewind(
+            self.ctx, blind, ctypes.byref(value), msg, ctypes.byref(mlen),
+            nonce32, ctypes.byref(mn), ctypes.byref(mx), commit,
+            proof, ctypes.c_size_t(len(proof)),
+            extra if extra else None, ctypes.c_size_t(len(extra)), gen)
+        if not r:
+            return None
+        return (blind.raw, value.value, msg.raw[:mlen.value],
+                mn.value, mx.value)
