@@ -237,23 +237,50 @@ def _genrand(layout: Layout, nonce32, commit: G.GE, genp: G.GE,
     return sec, s_list, prep_out, ok
 
 
-def _pub_expand(pubs, layout: Layout, genp: G.GE):
-    """rangeproof_pub_expand: pubs[base+j] = pubs[base+j-1] + base_pt,
-    base_pt = -genp * 10^exp * 4^i."""
-    base = G.gej_neg(G.gej_from_ge(genp))
+def _pub_expand(ring_bases, layout: Layout, genp: G.GE):
+    """rangeproof_pub_expand as one scan over flat members:
+    pubs[base+j] = pubs[base+j-1] + step, step = -genp * 10^exp * 4^i.
+
+    ring_bases: list[rings] of GEJ (first member of each ring).
+    Returns pubs as a list[npub] of GE (batch-affine converted)."""
+    import jax
+    from .borromean import _flat_meta
+
+    step0 = G.gej_neg(G.gej_from_ge(genp))
     for _ in range(layout.exp):
-        t = G.gej_double(base)
-        base = G.gej_add(G.gej_double(G.gej_double(t)), t)  # *10
-    npub = 0
-    out = list(pubs)
-    for i in range(layout.rings):
-        base_aff = G.ge_from_gej(base)
-        for j in range(1, layout.rsizes[i]):
-            out[npub + j] = G.gej_add_ge(out[npub + j - 1], base_aff)
-        if i < layout.rings - 1:
-            base = G.gej_double(G.gej_double(base))
-        npub += layout.rsizes[i]
-    return out
+        t = G.gej_double(step0)
+        step0 = G.gej_add(G.gej_double(G.gej_double(t)), t)  # *10
+
+    ring_id, eidx, is_last, _ = _flat_meta(layout.rsizes)
+    bx = jnp.stack([F.FP.norm_if_needed(b.x).v for b in ring_bases], 0)
+    by = jnp.stack([F.FP.norm_if_needed(b.y).v for b in ring_bases], 0)
+    bz = jnp.stack([F.FP.norm_if_needed(b.z).v for b in ring_bases], 0)
+    binf = jnp.stack([b.inf for b in ring_bases], 0)
+
+    def body(carry, xs):
+        prev, step = carry
+        rbx, rby, rbz, rbinf, eid, last = xs
+        ring_base = G.GEJ(LB(rbx, MASK16), LB(rby, MASK16),
+                          LB(rbz, MASK16), rbinf)
+        nxt = G.gej_add(prev, step)
+        cur = G.gej_select(eid == 0, ring_base, nxt)
+        # between rings: step *= 4
+        stepped = G.gej_double(G.gej_double(step))
+        step = G.gej_select(last, stepped, step)
+        out = (F.FP.norm_if_needed(cur.x).v, F.FP.norm_if_needed(cur.y).v,
+               F.FP.norm_if_needed(cur.z).v, cur.inf)
+        return (cur, step), out
+
+    batch = genp.batch_shape
+    init = (G.gej_infinity(batch), step0)
+    xs = (bx[np.array(ring_id)], by[np.array(ring_id)],
+          bz[np.array(ring_id)], binf[np.array(ring_id)],
+          jnp.asarray(eidx), jnp.asarray(is_last))
+    _, (ox, oy, oz, oinf) = jax.lax.scan(body, init, xs)
+    all_j = G.GEJ(LB(ox, MASK16), LB(oy, MASK16), LB(oz, MASK16), oinf)
+    all_aff = G.ge_from_gej_batch(all_j, axis=0)
+    return [G.GE(LB(all_aff.x.v[i], MASK16), LB(all_aff.y.v[i], MASK16),
+                 all_aff.inf[i]) for i in range(layout.npub)]
 
 
 # ---------------------------------------------------------------------------
@@ -299,31 +326,53 @@ def sign_core(layout: Layout, v_digits, min_values_u64, blind32, nonce32,
     sec[rings - 1] = S.normalize(S.add(sec[rings - 1], blind))
     ok = ok & ~b_ovf & ~S.is_zero(sec[rings - 1])
 
-    # digit commitments pubs[base_i] = sec_i*G + digit*scale*4^i * genp
-    pubs = [None] * layout.npub
-    signs = []
-    inner_x = []
-    npub = 0
+    # digit commitments pubs[base_i] = sec_i*G + digit*scale*4^i * genp,
+    # as one scan over rings (compile-size: one pedersen body).
+    import jax
+    digit_scalars = []
     for i in range(rings):
         scale4i = (layout.scale << (2 * i)) & U64
         vals = [0, scale4i, 2 * scale4i, 3 * scale4i]
-        digit_scalar = _u64_scalar(vals, v_digits[i])
-        vj = ecmult.ecmult_const(digit_scalar, genp)
-        rj = ecmult.ecmult_gen(sec[i], table)
-        base_pt = G.gej_add(rj, vj)
-        ok = ok & ~base_pt.inf
-        pubs[npub] = base_pt
+        digit_scalars.append(_u64_scalar(vals, v_digits[i]).v)
+    sec_stack = jnp.stack([s.v for s in sec], 0)
+    dig_stack = jnp.stack(digit_scalars, 0)
+
+    def ring_body(carry, xs):
+        sec_v, dig_v = xs
+        vj = ecmult.ecmult_const(LB(dig_v, MASK16), genp)
+        rj = ecmult.ecmult_gen(LB(sec_v, MASK16), table)
+        bp = G.gej_add(rj, vj)
+        return carry, (F.FP.norm_if_needed(bp.x).v,
+                       F.FP.norm_if_needed(bp.y).v,
+                       F.FP.norm_if_needed(bp.z).v, bp.inf)
+
+    _, (bpx, bpy, bpz, bpinf) = jax.lax.scan(
+        ring_body, 0, (sec_stack, dig_stack))
+    ring_bases = [G.GEJ(LB(bpx[i], MASK16), LB(bpy[i], MASK16),
+                        LB(bpz[i], MASK16), bpinf[i])
+                  for i in range(rings)]
+    signs = []
+    inner_x = []
+    # serialize the inner (first rings-1) base points; one shared batch
+    # affine conversion
+    inner_aff = G.ge_from_gej_batch(
+        G.GEJ(LB(bpx[:rings - 1] if rings > 1 else bpx[:0], MASK16),
+              LB(bpy[:rings - 1] if rings > 1 else bpy[:0], MASK16),
+              LB(bpz[:rings - 1] if rings > 1 else bpz[:0], MASK16),
+              bpinf[:rings - 1] if rings > 1 else bpinf[:0]),
+        axis=0) if rings > 1 else None
+    for i in range(rings):
+        ok = ok & ~ring_bases[i].inf
         if i < rings - 1:
-            c = G.ge_from_gej(base_pt)
+            c = G.GE(LB(inner_aff.x.v[i], MASK16),
+                     LB(inner_aff.y.v[i], MASK16), inner_aff.inf[i])
             ser = _ser_rp(c)
             stream.write(ser)
             signs.append(ser[..., 0] == 1)
             inner_x.append(ser[..., 1:])
-        npub += rsizes[i]
 
-    # fill in the rest of each ring and convert all to affine
-    pubs = _pub_expand(pubs, layout, genp)
-    pubs_aff = [G.ge_from_gej(p) for p in pubs]
+    # fill in the rest of each ring; batch-affine inside
+    pubs_aff = _pub_expand(ring_bases, layout, genp)
 
     if extra_commit is not None:
         stream.write(extra_commit)
@@ -467,33 +516,34 @@ def verify_core(layout: Layout, header, signs_bits, inner_x, e0, s_bytes,
     stream.write(_ser_rp(genp))
     stream.write(header)
 
-    # parse inner pubs (x + quadness sign)
-    pubs = [None] * layout.npub
-    accj = G.gej_infinity(batch)
-    mv_j = ecmult.ecmult_const(min_value_scalars, genp)
-    accj = mv_j
-    npub = 0
-    for i in range(rings - 1):
-        xb = inner_x[..., 32 * i:32 * (i + 1)]
-        x, xovf = F.from_bytes_be(xb)
-        y, y_ok = F.sqrt(F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF)))
-        ok = ok & ~xovf & y_ok
-        y = F.normalize(y)
-        sign_i = signs_bits[..., i]
-        y = F.normalize(F.select(sign_i, F.neg(y), y))
-        c = G.GE(x, y, ~y_ok)
-        stream.write(sign_i.astype(jnp.uint8)[..., None])
-        stream.write(xb)
-        pubs[npub] = G.gej_from_ge(c)
-        accj = G.gej_add_ge(accj, c)
-        npub += rsizes[i]
+    # parse inner pubs (x + quadness sign); sqrt lifts batched over the
+    # ring axis in one vectorized call (compile-size)
+    accj = ecmult.ecmult_const(min_value_scalars, genp)
+    ring_bases = []
+    if rings > 1:
+        xb_all = inner_x.reshape(*batch, rings - 1, 32)
+        xb_m = jnp.moveaxis(xb_all, -2, 0)          # [rings-1, ..., 32]
+        x_all, xovf = F.from_bytes_be(xb_m)
+        y_all, y_ok = F.sqrt(F.add(F.mul(F.sqr(x_all), x_all),
+                                   F.fe(F.B_COEFF)))
+        y_all = F.normalize(y_all)
+        sbits = jnp.moveaxis(signs_bits, -1, 0)      # [rings-1, ...]
+        y_all = F.normalize(F.select(sbits, F.neg(y_all), y_all))
+        ok = ok & jnp.all(~xovf & y_ok, axis=0)
+        for i in range(rings - 1):
+            xb = inner_x[..., 32 * i:32 * (i + 1)]
+            c = G.GE(LB(x_all.v[i], MASK16), LB(y_all.v[i], MASK16),
+                     ~y_ok[i])
+            stream.write(signs_bits[..., i].astype(jnp.uint8)[..., None])
+            stream.write(xb)
+            ring_bases.append(G.gej_from_ge(c))
+            accj = G.gej_add_ge(accj, c)
     accj = G.gej_neg(accj)
     last = G.gej_add_ge(accj, commit)
     ok = ok & ~last.inf
-    pubs[npub] = last
+    ring_bases.append(last)
 
-    pubs = _pub_expand(pubs, layout, genp)
-    pubs_aff = [G.ge_from_gej(p) for p in pubs]
+    pubs_aff = _pub_expand(ring_bases, layout, genp)
 
     if extra_commit is not None:
         stream.write(extra_commit)

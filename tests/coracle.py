@@ -146,6 +146,87 @@ class Ref:
             proof, ctypes.c_size_t(len(proof)),
             extra if extra else None, ctypes.c_size_t(len(extra)), gen))
 
+    # -- ecdsa s2c / anti-exfil -----------------------------------------
+    def ecdsa_s2c_sign(self, msg32: bytes, sec32: bytes,
+                       data32: bytes):
+        """Returns (sig64 compact, opening33) or None."""
+        sig = ctypes.create_string_buffer(64)
+        opening = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_ecdsa_s2c_sign(self.ctx, sig, opening,
+                                              msg32, sec32, data32)
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(64)
+        self.lib.secp256k1_ecdsa_signature_serialize_compact(
+            self.ctx, out, sig)
+        op33 = ctypes.create_string_buffer(33)
+        self.lib.secp256k1_ecdsa_s2c_opening_serialize(self.ctx, op33,
+                                                       opening)
+        return out.raw, op33.raw
+
+    def ecdsa_s2c_verify_commit(self, sig64: bytes, data32: bytes,
+                                opening33: bytes) -> bool:
+        sig = ctypes.create_string_buffer(64)
+        self.lib.secp256k1_ecdsa_signature_parse_compact(self.ctx, sig,
+                                                         sig64)
+        op = ctypes.create_string_buffer(64)
+        if not self.lib.secp256k1_ecdsa_s2c_opening_parse(self.ctx, op,
+                                                          opening33):
+            return False
+        return bool(self.lib.secp256k1_ecdsa_s2c_verify_commit(
+            self.ctx, sig, data32, op))
+
+    # -- ecdsa adaptor ----------------------------------------------------
+    def _pubkey_obj(self, ser: bytes):
+        pk = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_ec_pubkey_parse(
+            self.ctx, pk, ser, ctypes.c_size_t(len(ser)))
+        return pk if r else None
+
+    def adaptor_encrypt(self, sec32: bytes, enckey_ser: bytes,
+                        msg32: bytes):
+        pk = self._pubkey_obj(enckey_ser)
+        if pk is None:
+            return None
+        sig = ctypes.create_string_buffer(162)
+        r = self.lib.secp256k1_ecdsa_adaptor_encrypt(
+            self.ctx, sig, sec32, pk, msg32, None, None)
+        return sig.raw if r else None
+
+    def adaptor_verify(self, adaptor162: bytes, pub_ser: bytes,
+                       msg32: bytes, enckey_ser: bytes) -> bool:
+        pk = self._pubkey_obj(pub_ser)
+        ek = self._pubkey_obj(enckey_ser)
+        if pk is None or ek is None:
+            return False
+        return bool(self.lib.secp256k1_ecdsa_adaptor_verify(
+            self.ctx, adaptor162, pk, msg32, ek))
+
+    def adaptor_decrypt(self, deckey32: bytes, adaptor162: bytes):
+        sig = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_ecdsa_adaptor_decrypt(self.ctx, sig,
+                                                     deckey32,
+                                                     adaptor162)
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(64)
+        self.lib.secp256k1_ecdsa_signature_serialize_compact(self.ctx,
+                                                             out, sig)
+        return out.raw
+
+    def adaptor_recover(self, sig64: bytes, adaptor162: bytes,
+                        enckey_ser: bytes):
+        sig = ctypes.create_string_buffer(64)
+        self.lib.secp256k1_ecdsa_signature_parse_compact(self.ctx, sig,
+                                                         sig64)
+        ek = self._pubkey_obj(enckey_ser)
+        if ek is None:
+            return None
+        dk = ctypes.create_string_buffer(32)
+        r = self.lib.secp256k1_ecdsa_adaptor_recover(self.ctx, dk, sig,
+                                                     adaptor162, ek)
+        return dk.raw if r else None
+
     def rangeproof_rewind(self, blind_out_expected: bool,
                           commit_ser33: bytes, proof: bytes,
                           nonce32: bytes, gen_ser33: bytes,
