@@ -32,6 +32,9 @@ def _rand_inputs(batch, rng):
 def main():
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/secp_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from secp256k1_zkp_tpu.modules import ecdsa, eckey
     from secp256k1_zkp_tpu.ops import scalar as S
 

@@ -170,3 +170,13 @@ def recover(msg32, sig64, recid, table=None):
     qj = ecmult.ecmult(u_gen, u_point, Rpt, table)
     ok = sig_ok & y_ok & fits & ~qj.inf & ~S.is_zero(r) & ~S.is_zero(s)
     return G.ge_from_gej(qj), ok
+
+
+def signature_normalize(sig64):
+    """Lower-S normalize (secp256k1_ecdsa_signature_normalize,
+    secp256k1.c:476).  Returns (sig64_normalized, was_high [...] bool)."""
+    r = sig64[..., :32]
+    s, _ = S.from_bytes_be(sig64[..., 32:])
+    high = S.is_high(s)
+    s = S.select(high, S.normalize(S.neg(s)), S.normalize(s))
+    return jnp.concatenate([r, S.to_bytes_be(s)], axis=-1), high

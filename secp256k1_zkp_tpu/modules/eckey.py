@@ -112,3 +112,47 @@ def pubkey_combine(points: list[G.GE]):
 
 def pubkey_negate(p: G.GE):
     return G.ge_neg(p)
+
+
+def pubkey_sort(points: G.GE):
+    """Sort a batch of pubkeys by their compressed serialization
+    (cf. secp256k1_ec_pubkey_sort, src/secp256k1.c + src/hsort.h).
+
+    The reference needs an adversarial-input-safe heapsort because libc
+    qsort can go quadratic; here the comparison keys are fixed-width
+    33-byte rows, so the host does a radix-style lexsort on the
+    serialized bytes (O(n log n) worst case, data-independent).
+    Returns (sorted GE batch, permutation indices).
+    """
+    import numpy as np
+    ser = np.asarray(pubkey_serialize(points))  # [n, 33]
+    order = np.lexsort(ser.T[::-1])             # lexicographic rows
+    idx = jnp.asarray(order)
+    from ..ops.limb import LB
+    out = G.GE(LB(points.x.v[idx], points.x.bound),
+               LB(points.y.v[idx], points.y.bound), points.inf[idx])
+    return out, order
+
+
+def pubkey_cmp(a: G.GE, b: G.GE):
+    """Lexicographic compare of compressed serializations -> [-1,0,1]
+    per lane (cf. secp256k1_ec_pubkey_cmp)."""
+    sa = jnp.asarray(pubkey_serialize(a), jnp.int32)
+    sb = jnp.asarray(pubkey_serialize(b), jnp.int32)
+    diff = sa - sb
+    nz = diff != 0
+    first = jnp.argmax(nz, axis=-1)
+    any_nz = jnp.any(nz, axis=-1)
+    d = jnp.take_along_axis(diff, first[..., None], axis=-1)[..., 0]
+    return jnp.where(any_nz, jnp.sign(d), 0)
+
+
+def seckey_negate(sec32):
+    """(n - sec) mod n; zero stays zero (secp256k1_ec_seckey_negate,
+    secp256k1.c:700). Returns (sec32', ok) with ok False on overflow."""
+    d, ovf = S.from_bytes_be(sec32)
+    out = S.normalize(S.neg(d))
+    out = S.select(S.is_zero(d), d, out)
+    b = S.to_bytes_be(out)
+    b = jnp.where(ovf[..., None], jnp.zeros_like(b), b)
+    return b, ~ovf

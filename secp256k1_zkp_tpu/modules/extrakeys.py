@@ -76,3 +76,34 @@ def keypair_xonly_tweak_add(d: LB, p: G.GE, tweak32, table=None):
     q, ok = xonly_pubkey_tweak_add(p_even, tweak32, table)
     ok = ok & ~t_ovf & ~S.is_zero(d2)
     return d2, q, ok
+
+
+def keypair_sec(d: LB):
+    """Extract the secret key bytes (secp256k1_keypair_sec,
+    main_impl.h:198)."""
+    return S.to_bytes_be(S.normalize(S.FN.norm_if_needed(d)))
+
+
+def keypair_pub(p: G.GE):
+    """Extract the full public key (secp256k1_keypair_pub,
+    main_impl.h:207)."""
+    return p
+
+
+def keypair_xonly_pub(p: G.GE):
+    """(x-only GE, parity) view of a keypair's pubkey
+    (secp256k1_keypair_xonly_pub, main_impl.h:216)."""
+    return xonly_pubkey_from_pubkey(p)
+
+
+def xonly_pubkey_cmp(a: G.GE, b: G.GE):
+    """Lexicographic compare of the 32-byte x-only serializations ->
+    [-1, 0, 1] per lane (secp256k1_xonly_pubkey_cmp, main_impl.h:38)."""
+    sa = jnp.asarray(xonly_pubkey_serialize(a), jnp.int32)
+    sb = jnp.asarray(xonly_pubkey_serialize(b), jnp.int32)
+    diff = sa - sb
+    nz = diff != 0
+    first = jnp.argmax(nz, axis=-1)
+    any_nz = jnp.any(nz, axis=-1)
+    d = jnp.take_along_axis(diff, first[..., None], axis=-1)[..., 0]
+    return jnp.where(any_nz, jnp.sign(d), 0)

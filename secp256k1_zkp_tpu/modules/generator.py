@@ -52,12 +52,15 @@ def svdw(t: LB) -> G.GE:
     wd3 = F.mul(F.sqr(wd), wd)
     x3 = F.norm_weak(F.add(F.mul(wd3, jinv), F.fe(1)))
 
-    def curve_rhs(x):
-        return F.norm_weak(F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF)))
-
-    y1, aq = F.sqrt(curve_rhs(x1))
-    y2, bq = F.sqrt(curve_rhs(x2))
-    y3, _ = F.sqrt(curve_rhs(x3))
+    # One batched rhs+sqrt over the three candidates (stacked on a new
+    # leading axis): 3x fewer traced ops than three separate sqrt chains.
+    xs = LB(jnp.stack([x1.v, x2.v, x3.v], axis=0), MASK16)
+    rhs = F.norm_weak(F.add(F.mul(F.sqr(xs), xs), F.fe(F.B_COEFF)))
+    ys, qs = F.sqrt(rhs)
+    aq, bq = qs[0], qs[1]
+    y1 = LB(ys.v[0], ys.bound)
+    y2 = LB(ys.v[1], ys.bound)
+    y3 = LB(ys.v[2], ys.bound)
 
     x = F.select(aq, x1, F.select(bq, x2, x3))
     y = F.select(aq, y1, F.select(bq, y2, y3))
@@ -169,6 +172,33 @@ def pedersen_blind_sum(blinds32, npositive: int):
         acc = S.FN.norm_weak(acc)
     ok = ~jnp.any(ovf, axis=0)
     return S.to_bytes_be(S.normalize(acc)), ok
+
+
+def pedersen_blind_generator_blind_sum(values_hi, values_lo,
+                                       generator_blinds32, blinding32,
+                                       n_inputs: int):
+    """Final-factor solve for blinded-generator commitments
+    (pedersen_blind_generator_blind_sum, main_impl.h:400-466).
+
+    Inputs along axis 0 (length n_total): 64-bit values as (hi, lo) u32
+    pairs, generator blinds r_i, and pedersen blinds r'_i.  Returns
+    (new_blinding32 for index n_total-1, ok): the value that makes
+    sum_outputs(v_i*r_i + r'_i) - sum_inputs(v_i*r_i + r'_i) = 0.
+    """
+    r, r_ovf = S.from_bytes_be(generator_blinds32)
+    rp, rp_ovf = S.from_bytes_be(blinding32)
+    n_total = generator_blinds32.shape[0]
+    v = pedersen_scalar_from_u32_pair(values_hi, values_lo)
+    addend = S.FN.norm_weak(S.add(S.mul(v, r), rp))   # [n_total, 16]
+    sign = jnp.arange(n_total) < n_inputs
+    addend = S.select(sign, S.FN.norm_weak(S.neg(addend)), addend)
+    total = S.zero(())
+    for i in range(n_total):
+        total = S.FN.norm_weak(S.add(total, LB(addend.v[i], MASK16)))
+    last = LB(rp.v[n_total - 1], MASK16)
+    out = S.normalize(S.sub(last, total))
+    ok = ~jnp.any(r_ovf) & ~jnp.any(rp_ovf)
+    return S.to_bytes_be(out), ok
 
 
 def pedersen_verify_tally(pos: G.GEJ, neg: G.GEJ):

@@ -87,3 +87,43 @@ def aggverify(msgs32, pubx32, aggsig, n: int, table=None):
     ok = ok & ~s_ovf
     lhs = ecmult.ecmult_gen(s, table)
     return ok & G.gej_eq(lhs, rhs)
+
+
+def inc_aggregate(aggsig_old, msgs32, pubx32, new_sigs64, n_before: int,
+                  n_new: int):
+    """Incrementally extend a half-aggregate (schnorrsig_inc_aggregate,
+    main_impl.h:19): replays the transcript over the n_before old
+    entries (r's from aggsig_old), then absorbs n_new raw signatures.
+
+    msgs32/pubx32 cover ALL n_before+n_new entries ([..., n, 32]);
+    new_sigs64: [..., n_new, 64].  Returns (aggsig [..., 32*(n+1)], ok).
+    """
+    n = n_before + n_new
+    batch = msgs32.shape[:-2]
+    stream = H.Sha256Stream(batch, tag="HalfAgg/randomizer")
+    for i in range(n_before):
+        stream.write(jnp.concatenate(
+            [aggsig_old[..., 32 * i:32 * (i + 1)], pubx32[..., i, :],
+             msgs32[..., i, :]], axis=-1))
+    if n_before > 0:
+        s_acc, _ = S.from_bytes_be(
+            aggsig_old[..., 32 * n_before:32 * (n_before + 1)])
+    else:
+        s_acc = S.zero(batch)
+    rs = [aggsig_old[..., 32 * i:32 * (i + 1)] for i in range(n_before)]
+    for i in range(n_before, n):
+        j = i - n_before
+        r_i = new_sigs64[..., j, :32]
+        stream.write(jnp.concatenate(
+            [r_i, pubx32[..., i, :], msgs32[..., i, :]], axis=-1))
+        s_i, _ = S.from_bytes_be(new_sigs64[..., j, 32:])
+        if i == 0:
+            term = s_i
+        else:
+            z_b = H.words_to_bytes32(stream.finalize_words())
+            z_i, _ = S.from_bytes_be(z_b)
+            term = S.mul(z_i, s_i)
+        s_acc = S.FN.norm_weak(S.add(s_acc, term))
+        rs.append(r_i)
+    out = jnp.concatenate(rs + [S.to_bytes_be(S.normalize(s_acc))], axis=-1)
+    return out, jnp.ones(batch, bool)

@@ -193,12 +193,18 @@ def _len_prefixed(parts, prefix_size, data, data_len):
 
 
 def nonce_gen(session_secrand32, pk: G.GE, sec32=None, msg32=None,
-              agg_pk32=None, extra32=None, table=None):
+              agg_pk32=None, extra32=None, table=None,
+              allow_zero_secrand: bool = False):
     """MuSig2 nonce generation (musig_nonce_gen, session_impl.h:345-420).
 
-    Returns (secnonce (k1, k2, pk), pubnonce (R1, R2), ok)."""
+    Returns (secnonce (k1, k2, pk), pubnonce (R1, R2), ok).
+    ``allow_zero_secrand`` skips the all-zero defense check (used by the
+    counter-mode variant, which feeds a be64 counter)."""
     batch = session_secrand32.shape[:-1]
-    ok = ~jnp.all(session_secrand32 == 0, axis=-1)
+    if allow_zero_secrand:
+        ok = jnp.ones(batch, bool)
+    else:
+        ok = ~jnp.all(session_secrand32 == 0, axis=-1)
 
     if sec32 is not None:
         aux = H.words_to_bytes32(
@@ -376,3 +382,73 @@ def pubkey_sort_host(ser33_list: list[bytes]) -> list[int]:
     """Returns the permutation indices sorting keys lexicographically by
     compressed serialization (BIP-327 KeySort)."""
     return sorted(range(len(ser33_list)), key=lambda i: ser33_list[i])
+
+
+# ---------------------------------------------------------------------------
+# Adaptor support (modules/musig/adaptor_impl.h)
+# ---------------------------------------------------------------------------
+
+
+def nonce_parity(session: Session):
+    """The final nonce's Y parity (musig_nonce_parity,
+    adaptor_impl.h:18)."""
+    return session.fin_nonce_parity
+
+
+def adapt(pre_sig64, sec_adaptor32, parity):
+    """Turn a pre-signature into a valid BIP-340 signature:
+    s = pre_s + (-1)^parity * t (musig_adapt, adaptor_impl.h:31).
+    Returns (sig64, ok)."""
+    s, s_ovf = S.from_bytes_be(pre_sig64[..., 32:])
+    t, t_ovf = S.from_bytes_be(sec_adaptor32)
+    par = jnp.asarray(parity, bool)
+    t = S.select(par, S.normalize(S.neg(t)), t)
+    s2 = S.normalize(S.add(s, t))
+    sig = jnp.concatenate([pre_sig64[..., :32], S.to_bytes_be(s2)], axis=-1)
+    return sig, ~s_ovf & ~t_ovf
+
+
+def extract_adaptor(sig64, pre_sig64, parity):
+    """Recover the secret adaptor t = (-1)^(1-parity) * (pre_s - s)
+    (musig_extract_adaptor, adaptor_impl.h:72). Returns (t32, ok)."""
+    s, s_ovf = S.from_bytes_be(sig64[..., 32:])
+    ps, ps_ovf = S.from_bytes_be(pre_sig64[..., 32:])
+    t = S.normalize(S.add(S.normalize(S.neg(s)), ps))
+    par = jnp.asarray(parity, bool)
+    t = S.select(~par, S.normalize(S.neg(t)), t)
+    return S.to_bytes_be(S.normalize(t)), ~s_ovf & ~ps_ovf
+
+
+# ---------------------------------------------------------------------------
+# Codec / convenience parity (include/secp256k1_musig.h)
+# ---------------------------------------------------------------------------
+
+aggnonce_serialize = pubnonce_serialize
+aggnonce_parse = pubnonce_parse
+
+
+def partial_sig_serialize(psig: LB):
+    """Scalar -> 32 bytes (musig_partial_sig_serialize)."""
+    return S.to_bytes_be(S.normalize(S.FN.norm_if_needed(psig)))
+
+
+def partial_sig_parse(b32):
+    """32 bytes -> (scalar, ok); rejects overflow
+    (musig_partial_sig_parse, session_impl.h:244)."""
+    s, ovf = S.from_bytes_be(b32)
+    return s, ~ovf
+
+
+def nonce_gen_counter(nonrepeating_cnt: int, sec32, pk: G.GE, msg32=None,
+                      agg_pk32=None, extra32=None, table=None):
+    """Counter-mode nonce generation (musig_nonce_gen_counter,
+    session_impl.h:465): session_secrand = be64(cnt) || zeros, keypair
+    required (sec+pk)."""
+    batch = sec32.shape[:-1]
+    buf = np.zeros(32, np.uint8)
+    buf[:8] = np.frombuffer(int(nonrepeating_cnt).to_bytes(8, "big"),
+                            np.uint8)
+    secrand = jnp.broadcast_to(jnp.asarray(buf), (*batch, 32))
+    return nonce_gen(secrand, pk, sec32=sec32, msg32=msg32,
+                     agg_pk32=agg_pk32, extra32=extra32, table=table,
+                     allow_zero_secrand=True)

@@ -612,6 +612,185 @@ def _verify_jit(layout: Layout, has_extra: bool):
     return jax.jit(fn)
 
 
+def info(proof: bytes):
+    """Header-only query (secp256k1_rangeproof_info,
+    modules/rangeproof/main_impl.h): returns
+    (exp, mantissa, min_value, max_value) or None."""
+    ph = parse_header(proof)
+    if ph is None:
+        return None
+    _off, exp, mantissa, _scale, min_value, max_value, _hm = ph
+    return exp, mantissa, min_value, max_value
+
+
+@lru_cache(maxsize=64)
+def _rewind_jit(layout: Layout, has_extra: bool):
+    """Device core for rewind: verify-with-evalues + genrand replay."""
+    import jax
+
+    def fn(header, signs, inner, e0, s_bytes, mv, commit, genp, nonce32,
+           *extra):
+        ok, ev, s_list = verify_core(
+            layout, header, signs, inner, e0, s_bytes, mv, commit, genp,
+            extra[0] if extra else None, return_evalues=True)
+        prep0 = jnp.zeros((*e0.shape[:-1], layout.npub * 32), jnp.uint8)
+        sec, s_orig, prep, g_ok = _genrand(layout, nonce32, commit, genp,
+                                           header, prep0)
+        return (ok, g_ok,
+                jnp.stack([S.normalize(e).v for e in ev], 0),
+                jnp.stack([S.normalize(s).v for s in s_list], 0),
+                jnp.stack([S.normalize(x).v for x in sec], 0),
+                jnp.stack([S.normalize(x).v for x in s_orig], 0),
+                prep)
+
+    return jax.jit(fn)
+
+
+def _lane_int(stacked_v, i, lane):
+    """stacked_v: [n, B, 16] device; -> python int of element [i, lane]."""
+    from ..ops.limb import limbs_to_int_np
+    return limbs_to_int_np(np.asarray(stacked_v)[i, lane])
+
+
+def rewind(proofs: list[bytes], nonces32, commits: G.GE, genp: G.GE,
+           extra_commit=None, table=None):
+    """Batched rangeproof rewind (rangeproof_rewind_inner,
+    rangeproof_impl.h:364-485): verify AND recover (blind, value,
+    message) using the original nonce.
+
+    Returns (ok [B] bool, blinds [B] bytes32|None, values [B] int|None,
+    messages [B] bytes|None, min_values, max_values).
+    """
+    parts = [_split_proof(p) for p in proofs]
+    B = len(proofs)
+    okh = np.array([p is not None for p in parts])
+    blinds: list = [None] * B
+    values: list = [None] * B
+    messages: list = [None] * B
+    min_out = np.zeros(B, object)
+    max_out = np.zeros(B, object)
+    if not okh.any():
+        return okh, blinds, values, messages, min_out, max_out
+    layout = next(p[0] for p in parts if p is not None)
+    for p in parts:
+        assert p is None or p[0] == layout, \
+            "rewind() batches must share a proof layout"
+    idx = [i for i in range(B) if parts[i] is not None]
+
+    def stackb(key):
+        return jnp.asarray(np.stack(
+            [np.frombuffer(parts[i][1][key], np.uint8) for i in idx]))
+
+    header = stackb("header")
+    inner = stackb("inner") if layout.rings > 1 else \
+        jnp.zeros((len(idx), 0), jnp.uint8)
+    e0 = stackb("e0")
+    s_bytes = stackb("s")
+    signs = jnp.asarray(np.array(
+        [[bool(b) for b in parts[i][1]["signs"]] for i in idx],
+        bool).reshape(len(idx), layout.rings - 1))
+    mv_scalar = LB(jnp.asarray(np.array(
+        [[(int(parts[i][1]["min_value"]) >> (16 * k)) & 0xFFFF
+          for k in range(16)] for i in idx], np.uint32)), MASK16)
+
+    def pick(ge, indices):
+        return G.GE(LB(ge.x.v[np.array(indices)], ge.x.bound),
+                    LB(ge.y.v[np.array(indices)], ge.y.bound),
+                    ge.inf[np.array(indices)])
+
+    sub_commits = pick(commits, idx) if commits.batch_shape else commits
+    sub_genp = genp if genp.batch_shape == () else pick(genp, idx)
+    nonce_arr = jnp.asarray(nonces32)[np.array(idx)]
+
+    args = (header, signs, inner, e0, s_bytes, mv_scalar, sub_commits,
+            sub_genp, nonce_arr)
+    if extra_commit is not None:
+        args = args + (extra_commit,)
+    (v_ok, g_ok, ev_st, s_st, sec_st, sorig_st, prep) = _rewind_jit(
+        layout, extra_commit is not None)(*args)
+
+    v_ok = np.asarray(v_ok) & np.asarray(g_ok)
+    ev_np, s_np = np.asarray(ev_st), np.asarray(s_st)
+    sec_np, sorig_np = np.asarray(sec_st), np.asarray(sorig_st)
+    prep_np = np.asarray(prep)
+    rings, rsizes = layout.rings, layout.rsizes
+
+    from ..ops.limb import limbs_to_int_np
+
+    def ints(stacked, i, lane):
+        return limbs_to_int_np(stacked[i, lane])
+
+    for li, b in enumerate(idx):
+        if not v_ok[li]:
+            okh[b] = False
+            continue
+        min_out[b] = parts[b][1]["min_value"]
+        max_out[b] = parts[b][1]["max_value"]
+        scale = parts[b][1]["scale"]
+        n = S.N
+        if rings == 1 and rsizes[0] == 1:
+            # only the blinding factor is recoverable
+            e = ints(ev_np, 0, li)
+            x = (ints(sorig_np, 0, li) - ints(s_np, 0, li)) * \
+                pow(e, -1, n) % n
+            blinds[b] = int(x).to_bytes(32, "big")
+            values[b] = 0
+            messages[b] = b""
+            continue
+        npub0 = (rings - 1) << 2
+        found_j = None
+        value = None
+        prep_lane = prep_np[li].copy()
+        for j in range(2):
+            slot = npub0 + rsizes[rings - 1] - 1 - j
+            tmp = (int(ints(s_np, slot, li)).to_bytes(32, "big"))
+            blk = prep_lane[32 * slot:32 * (slot + 1)].tobytes()
+            t = bytes(a ^ c for a, c in zip(tmp, blk))
+            if (t[0] & 128) and t[16:24] == t[24:32] and t[8:16] == t[16:24]:
+                value = int.from_bytes(t[24:32], "big")
+                prep_lane[32 * slot:32 * (slot + 1)] = \
+                    np.frombuffer(t, np.uint8)
+                found_j = j
+                break
+        if found_j is None:
+            okh[b] = False
+            continue
+        skip1 = rsizes[rings - 1] - 1 - found_j
+        skip2 = (value >> ((rings - 1) << 1)) & 3
+        if skip1 == skip2:
+            okh[b] = False
+            continue
+        skip1 += (rings - 1) << 2
+        skip2 += (rings - 1) << 2
+        e2 = ints(ev_np, skip2, li)
+        x = (ints(sorig_np, skip2, li) - ints(s_np, skip2, li)) * \
+            pow(e2, -1, n) % n
+        blind = (x - ints(sec_np, rings - 1, li)) % n
+        blinds[b] = int(blind).to_bytes(32, "big")
+        values[b] = value * scale + int(parts[b][1]["min_value"])
+        # message recovery
+        msg = bytearray()
+        np_i = 0
+        for i in range(rings):
+            didx = (value >> (i << 1)) & 3
+            for jj in range(rsizes[i]):
+                if np_i in (skip1, skip2):
+                    np_i += 1
+                    continue
+                if didx == jj:
+                    st = (ints(s_np, np_i, li) +
+                          ints(sec_np, i, li) * ints(ev_np, np_i, li)) % n
+                else:
+                    st = ints(s_np, np_i, li)
+                blk = prep_lane[32 * np_i:32 * (np_i + 1)].tobytes()
+                t = bytes(a ^ c for a, c in zip(
+                    int(st).to_bytes(32, "big"), blk))
+                msg += t
+                np_i += 1
+        messages[b] = bytes(msg)
+    return okh, blinds, values, messages, min_out, max_out
+
+
 def verify(proofs: list[bytes], commits: G.GE, genp: G.GE,
            extra_commit=None, table=None):
     """Batched verify of same-layout proofs.
@@ -664,3 +843,13 @@ def verify(proofs: list[bytes], commits: G.GE, genp: G.GE,
             min_out[i] = parts[i][1]["min_value"]
             max_out[i] = parts[i][1]["max_value"]
     return ok, min_out, max_out
+
+
+def max_size(max_value: int, min_bits: int) -> int:
+    """Upper bound on proof size (secp256k1_rangeproof_max_size,
+    modules/rangeproof/main_impl.h:94-104)."""
+    val_mantissa = max_value.bit_length() if max_value > 0 else 1
+    mantissa = max(min_bits, val_mantissa)
+    rings = (mantissa + 1) // 2
+    npubs = rings * 4 - 2 * (mantissa % 2)
+    return 10 + 32 * (npubs + rings - 1) + 32 + ((rings - 1 + 7) // 8)

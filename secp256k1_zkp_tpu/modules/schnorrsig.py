@@ -109,3 +109,17 @@ def verify(msg32, sig64, px32, table=None):
     ok = (pk_ok & ~rx_ovf & ~s_ovf & ~rj.inf
           & ~F.is_odd(R.y) & F.eq(R.x, rx))
     return ok
+
+
+# API parity: the reference distinguishes sign32 (32-byte message) from
+# sign_custom (any length + extraparams); here both route through the
+# same static-shape kernel — msg length is a trace-time constant.
+sign32 = sign
+
+
+def sign_custom(msg, sec32, aux32=None, table=None):
+    """BIP-340 sign over an arbitrary (static) length message
+    (secp256k1_schnorrsig_sign_custom, main_impl.h:199).  The default
+    nonce function hashes the message with its natural length, so this
+    is the same dataflow as :func:`sign` at a different static shape."""
+    return sign(msg, sec32, aux32=aux32, table=table)

@@ -224,3 +224,22 @@ def parse(data: bytes):
     e0 = data[2 + nb:2 + nb + 32]
     s = data[2 + nb + 32:]
     return n, bitmap, e0, s
+
+
+def n_total_inputs(n_inputs: int, used_bitmap: bytes) -> int:
+    """(secp256k1_surjectionproof_n_total_inputs)."""
+    del used_bitmap
+    return n_inputs
+
+
+def n_used_inputs(n_inputs: int, used_bitmap: bytes) -> int:
+    """Popcount of the used-input bitmap
+    (secp256k1_surjectionproof_n_used_inputs)."""
+    nb = (n_inputs + 7) // 8
+    return sum(bin(b).count("1") for b in used_bitmap[:nb])
+
+
+def serialized_size(n_inputs: int, n_used: int) -> int:
+    """(secp256k1_surjectionproof_serialized_size): 2-byte count +
+    bitmap + 32*(1 + n_used)."""
+    return 2 + (n_inputs + 7) // 8 + 32 * (1 + n_used)

@@ -121,20 +121,38 @@ def ecmult_gen(k: LB, table: GenTable | None = None) -> G.GEJ:
 
 def _pt_table(p: G.GE):
     """Per-lane table of 0..15 multiples of p: ([16, ..., 16limbs] x2,
-    [16, ...] inf).  13 adds + 1 double, batched."""
-    entries = [G.ge_infinity(p.batch_shape), p]
-    j2 = G.gej_double(G.gej_from_ge(p))
-    entries_j = [G.gej_from_ge(e) for e in entries] + [j2]
-    for d in range(3, TSIZE):
-        entries_j.append(G.gej_add_ge(entries_j[d - 1], p))
-    aff = G.ge_from_gej_batch(
-        G.GEJ(
-            LB(jnp.stack([e.x.v for e in entries_j], 0), MASK16),
-            LB(jnp.stack([e.y.v for e in entries_j], 0), MASK16),
-            LB(jnp.stack([F.FP.norm_if_needed(e.z).v for e in entries_j], 0),
-               MASK16),
-            jnp.stack([e.inf for e in entries_j], 0),
-        ), axis=0)
+    [16, ...] inf).  Entries 3..15 accumulate in a scan (one add body
+    instead of 13 inlined adds — compile-size), then one shared
+    batch-affine conversion."""
+    inf0 = G.gej_infinity(p.batch_shape)
+    j1 = G.gej_from_ge(p)
+    j2 = G.gej_double(j1)
+
+    def body(carry, _):
+        prev = G.GEJ(LB(carry[0], MASK16), LB(carry[1], MASK16),
+                     LB(carry[2], MASK16), carry[3])
+        nxt = G.gej_add_ge(prev, p)
+        out = (F.FP.norm_if_needed(nxt.x).v, F.FP.norm_if_needed(nxt.y).v,
+               F.FP.norm_if_needed(nxt.z).v, nxt.inf)
+        return out, out
+
+    j2n = (F.FP.norm_if_needed(j2.x).v, F.FP.norm_if_needed(j2.y).v,
+           F.FP.norm_if_needed(j2.z).v, j2.inf)
+    _, (tx, ty, tz, tinf) = jax.lax.scan(body, j2n, None,
+                                         length=TSIZE - 3)
+
+    def stack3(a, b, c, tail):
+        return jnp.concatenate([a[None], b[None], c[None], tail], axis=0)
+
+    all_j = G.GEJ(
+        LB(stack3(inf0.x.v, F.FP.norm_if_needed(j1.x).v, j2n[0], tx),
+           MASK16),
+        LB(stack3(inf0.y.v, F.FP.norm_if_needed(j1.y).v, j2n[1], ty),
+           MASK16),
+        LB(stack3(inf0.z.v, F.FP.norm_if_needed(j1.z).v, j2n[2], tz),
+           MASK16),
+        stack3(inf0.inf, j1.inf, j2n[3], tinf))
+    aff = G.ge_from_gej_batch(all_j, axis=0)
     return aff.x.v, aff.y.v, aff.inf
 
 

@@ -433,11 +433,17 @@ class Mod:
         if e == 0:
             return self.one(x.batch_shape)
         x = self.norm_if_needed(x)
-        # Precompute x^0..x^15.
-        pows = [self.one(x.batch_shape), x]
-        for i in range(2, 16):
-            pows.append(self.mul(pows[i - 1], x))
-        table = jnp.stack([p.v for p in pows], axis=0)  # [16, ..., 16]
+
+        # Precompute x^0..x^15 with a scan (one mul body instead of 14
+        # inlined muls — compile-size matters on 256-bit limb code).
+        def tab_body(prev, _):
+            nxt = self.mul(LB(prev, MASK16), x)
+            return nxt.v, nxt.v
+
+        _, tail = jax.lax.scan(tab_body, self.one(x.batch_shape).v,
+                               None, length=15)
+        table = jnp.concatenate(
+            [self.one(x.batch_shape).v[None], tail], axis=0)  # [16, ..., 16]
         ndig = (e.bit_length() + 3) // 4
         digits = jnp.asarray(
             np.array([(e >> (4 * i)) & 0xF for i in reversed(range(ndig))],

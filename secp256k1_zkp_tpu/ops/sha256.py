@@ -27,11 +27,9 @@ def _rotr(x, n):
     return (x >> n) | (x << (32 - n))
 
 
-def compress(state, block):
-    """One SHA-256 compression: state [..., 8], block [..., 16] -> [..., 8].
-
-    Unrolled 64 rounds on the VPU (cf. sha256_transform,
-    src/hash_impl.h:51-138)."""
+def _compress_unrolled(state, block):
+    """Fully unrolled 64 rounds (maximum ILP; ~1.6k HLO ops per call —
+    use only where few compressions are traced)."""
     w = [block[..., i] for i in range(16)]
     for t in range(16, 64):
         s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
@@ -48,6 +46,51 @@ def compress(state, block):
         h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
     out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
     return state + out
+
+
+def _compress_scan(state, block):
+    """Rolled 64-round scan with a sliding 16-word schedule window.
+
+    Same dataflow as _compress_unrolled but ~50 HLO ops + one loop, so
+    protocols that trace dozens of compressions (rangeproof genrand,
+    MuSig nonces, bppp transcripts) stay compilable in seconds.  The
+    round loop is sequential either way — lanes parallelize across the
+    batch, not across rounds."""
+    import jax
+
+    def step(carry, kt):
+        s, w = carry
+        a, b, c, d, e, f, g, h = [s[..., i] for i in range(8)]
+        wt = w[..., 0]
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + kt + wt
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        s = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g], axis=-1)
+        # next schedule word (only consumed while t < 48; harmless after)
+        w1, w14 = w[..., 1], w[..., 14]
+        s0w = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> 3)
+        s1w = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> 10)
+        w16 = w[..., 0] + s0w + w[..., 9] + s1w
+        w = jnp.concatenate([w[..., 1:], w16[..., None]], axis=-1)
+        return (s, w), None
+
+    (out, _), _ = jax.lax.scan(step, (state, block), _K)
+    return state + out
+
+
+_UNROLL = bool(int(__import__("os").environ.get("SECP_TPU_UNROLL_SHA", "0")))
+
+
+def compress(state, block):
+    """One SHA-256 compression: state [..., 8], block [..., 16] -> [..., 8]
+    (cf. sha256_transform, src/hash_impl.h:51-138).  Rolled by default
+    (compile-size); set SECP_TPU_UNROLL_SHA=1 for the unrolled body."""
+    if _UNROLL:
+        return _compress_unrolled(state, block)
+    return _compress_scan(state, block)
 
 
 def _pad_words(words, msg_bytes: int, consumed_bytes: int = 0):

@@ -12,8 +12,12 @@ os.environ.setdefault("JAX_PLATFORMS",
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags and \
         os.environ["JAX_PLATFORMS"] == "cpu":
+    # opt-level 0: these are correctness tests; XLA CPU's optimization
+    # passes are the dominant cost of this suite on small hosts.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + " --xla_force_host_platform_device_count=8"
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true").strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -165,3 +165,44 @@ def test_tweaks(rng):
         xs = np.asarray(F.normalize(q.x).v)
         for i, (p, t) in enumerate(zip(pubs, tweaks)):
             assert limbs_to_int_np(xs[i]) == exp_fn(p, t)[0]
+
+
+def test_recovery_module_roundtrip(rng):
+    """Recoverable-signature module surface: serialize/parse compact,
+    convert, recover (mirrors modules/recovery tests)."""
+    from secp256k1_zkp_tpu.modules import recovery
+
+    secs, msgs, pubs = setup(rng, 4)
+    sec_b = b2a([s.to_bytes(32, "big") for s in secs])
+    msg_b = b2a(msgs)
+
+    @jax.jit
+    def go(msg_b, sec_b):
+        sig64, recid, ok = recovery.sign_recoverable(msg_b, sec_b)
+        sig65 = recovery.serialize_compact(sig64, recid)
+        s64, rid, pok = recovery.parse_compact(sig65)
+        q, rok = recovery.recover(msg_b, s64, rid)
+        std = recovery.to_standard(s64, rid)
+        vok = ecdsa.verify(msg_b, std, q)
+        return q, ok & pok & rok & vok, sig65
+
+    q, ok, sig65 = go(msg_b, sec_b)
+    assert np.asarray(ok).all()
+    xs = np.asarray(F.normalize(q.x).v)
+    for i, pub in enumerate(pubs):
+        assert limbs_to_int_np(xs[i]) == pub[0]
+
+    # parity with the host oracle recover
+    s65 = np.asarray(sig65)
+    for i in range(len(secs)):
+        r = int.from_bytes(bytes(s65[i, :32].tolist()), "big")
+        s = int.from_bytes(bytes(s65[i, 32:64].tolist()), "big")
+        rid = int(s65[i, 64])
+        got = oracle.ecdsa_recover(msgs[i], r, s, rid)
+        assert got == pubs[i]
+
+    # invalid recid rejected
+    bad65 = s65.copy()
+    bad65[:, 64] = 7
+    _, _, pok = recovery.parse_compact(jnp.asarray(bad65))
+    assert not np.asarray(pok).any()

@@ -119,3 +119,52 @@ def test_sign_with_message_and_exp(rng, ref):
         assert ref.rangeproof_verify(commit_sers[i], proofs[i], gser)
     ok2, _, _ = rp.verify(proofs, mk_ge(commits), mk_ge([Hpt] * n))
     assert ok2.all()
+
+
+def test_rewind_vs_reference(rng, ref):
+    """Our rewind recovers (blind, value, message, min, max) identically
+    to secp256k1_rangeproof_rewind."""
+    n = 2
+    Hpt, gser, blinds, nonces, values, commits, commit_sers = \
+        setup_case(rng, ref, n, vmax=2 ** 24)
+    msgs = [rng.bytes(40) for _ in range(n)]
+
+    proofs, ok = rp.sign(
+        np.array(values, dtype=np.uint64), b2a(blinds), b2a(nonces),
+        mk_ge(commits), mk_ge([Hpt] * n), exp=0, min_bits=32,
+        messages=msgs)
+    assert ok.all()
+
+    rok, rblinds, rvalues, rmsgs, rmn, rmx = rp.rewind(
+        proofs, b2a(nonces), mk_ge(commits), mk_ge([Hpt] * n))
+    assert rok.all()
+    for i in range(n):
+        want = ref.rangeproof_rewind(True, commit_sers[i], proofs[i],
+                                     nonces[i], gser)
+        assert want is not None
+        wblind, wvalue, wmsg, wmn, wmx = want
+        assert rblinds[i] == wblind, f"lane {i} blind differs"
+        assert rvalues[i] == wvalue == values[i]
+        assert rmsgs[i][:len(wmsg)] == wmsg
+        assert rmsgs[i][:40] == msgs[i]
+        assert int(rmn[i]) == wmn and int(rmx[i]) == wmx
+
+    # wrong nonce: either fails or recovers garbage, never the message
+    bad_nonces = [bytes(32) for _ in range(n)]
+    rok2, _, rv2, rmsg2, _, _ = rp.rewind(
+        proofs, b2a(bad_nonces), mk_ge(commits), mk_ge([Hpt] * n))
+    for i in range(n):
+        assert (not rok2[i]) or rv2[i] != values[i] or \
+            rmsg2[i][:40] != msgs[i]
+
+
+def test_info():
+    """rangeproof_info parity on a synthetic header."""
+    # exp=2, mantissa=24, min_value=7
+    hdr = bytes([64 | 32 | 2, 23]) + (7).to_bytes(8, "big")
+    proof = hdr + bytes(3000)
+    got = rp.info(proof)
+    assert got is not None
+    exp, mantissa, mn, mx = got
+    assert exp == 2 and mantissa == 24 and mn == 7
+    assert mx == (0xFFFFFFFFFFFFFFFF >> 40) * 100 + 7
