@@ -180,3 +180,57 @@ def signature_normalize(sig64):
     high = S.is_high(s)
     s = S.select(high, S.normalize(S.neg(s)), S.normalize(s))
     return jnp.concatenate([r, S.to_bytes_be(s)], axis=-1), high
+
+
+# ---------------------------------------------------------------------------
+# TPU fast path: fused Pallas kernels (ops/pallas_group.py,
+# ops/pallas_scalar.py) — limb-major layout, batch on the VPU lanes.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_ok() -> bool:
+    import os
+    if os.environ.get("SECP_TPU_NO_PALLAS"):
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pad_to(v, mult, axis=-1):
+    b = v.shape[axis]
+    pad = (-b) % mult
+    if pad == 0:
+        return v
+    widths = [(0, 0)] * v.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(v, widths)
+
+
+def verify_tpu(msg32, sig64, pub: G.GE, tb: int = 512):
+    """Batched verify through the fused Pallas pipeline: one *prep*
+    kernel (s^-1 Fermat chain, u1/u2, GLV lambda split, digit streams —
+    pallas_scalar.ecdsa_prep_tpu) and one *ecmult* kernel (GLV Strauss
+    with the x(R)===r check fused into the epilogue —
+    pallas_group.ecmult_glv_tpu).  No 256-bit multiply runs in the XLA
+    glue.  Semantics identical to :func:`verify` (low-S enforced).
+    Requires a 1-D batch; pads internally to a multiple of ``tb``."""
+    from ..ops import pallas_group as PG
+    from ..ops import pallas_scalar as PS
+
+    B = msg32.shape[0]
+    m, _ = S.from_bytes_be(msg32)
+    r, s, sig_ok = sig_parse_compact(sig64)
+    nonzero = ~S.is_zero(r) & ~S.is_zero(s)
+
+    m_t = _pad_to(jnp.transpose(m.v), tb)
+    r_t = _pad_to(jnp.transpose(r.v), tb)
+    s_t = _pad_to(jnp.transpose(s.v), tb)
+    digs, flags = PS.ecdsa_prep_tpu(m_t, r_t, s_t, tb=tb)
+
+    px = _pad_to(jnp.transpose(F.normalize(pub.x).v), tb)
+    py = _pad_to(jnp.transpose(F.normalize(pub.y).v), tb)
+    pinf = _pad_to(pub.inf, tb, axis=0)
+    _, _, _, _, ok = PG.ecmult_glv_tpu(digs, flags, px, py, pinf,
+                                       rx=r_t, tb=tb)
+    ok = ok[:B] & nonzero & ~pub.inf & ~S.is_high(s)
+    return ok & sig_ok

@@ -153,6 +153,44 @@ def pedersen_commitment_serialize(c: G.GE):
     return jnp.concatenate([pre, F.to_bytes_be(c.x)], axis=-1)
 
 
+def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
+                        tb: int = 512):
+    """Batched commit = blind*G + value*H through the fused Pallas GLV
+    ecmult + affine/quad-character kernels; returns (commit33, ok).
+
+    Same semantics as pedersen_commit + pedersen_commitment_serialize
+    (modules/generator/main_impl.h:309, pedersen_impl.h:41-49); the
+    64-bit value needs no lambda split (v < 2^128 is its own magnitude)
+    so the digit streams are pure bit-slicing."""
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_group as PG
+    from ..modules.schnorrsig import _digits_rows_msb, _pad_to
+
+    B = blind32.shape[0]
+    b, b_ovf = S.from_bytes_be(blind32)
+    v = pedersen_scalar_from_u32_pair(value_hi, value_lo)
+
+    b_t = _pad_to(jnp.transpose(b.v), tb)
+    v_t = _pad_to(jnp.transpose(v.v), tb)
+    Bp = b_t.shape[-1]
+    digs = jnp.concatenate(
+        [_digits_rows_msb(b_t, 0, 8), _digits_rows_msb(b_t, 8, 16),
+         _digits_rows_msb(v_t, 0, 8), jnp.zeros((32, Bp), jnp.uint32)],
+        axis=0)
+    flags = jnp.zeros((2, Bp), jnp.uint32)
+    gx = _pad_to(jnp.transpose(F.normalize(gen.x).v), tb)
+    gy = _pad_to(jnp.transpose(F.normalize(gen.y).v), tb)
+    pinf = _pad_to(gen.inf, tb, axis=0)
+    x, y, z, inf, _ = PG.ecmult_glv_tpu(digs, flags, gx, gy, pinf,
+                                        rx=None, tb=tb)
+    xa, ya, sq = PF.affine_meta_tpu(x, y, z, tb=tb)
+    xa_b = LB(jnp.transpose(xa)[:B], MASK16)
+    pre = jnp.where(sq[:B], 8, 9).astype(jnp.uint8)[..., None]
+    commit33 = jnp.concatenate([pre, F.to_bytes_be(xa_b)], axis=-1)
+    ok = ~b_ovf & ~inf[:B] & ~gen.inf
+    return commit33, ok
+
+
 def pedersen_commitment_parse(b33):
     return _parse_xquad(b33, 8)
 

@@ -111,6 +111,67 @@ def verify(msg32, sig64, px32, table=None):
     return ok
 
 
+def _pad_to(v, mult, axis=-1):
+    b = v.shape[axis]
+    pad = (-b) % mult
+    if pad == 0:
+        return v
+    widths = [(0, 0)] * v.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(v, widths)
+
+
+def _digits_rows_msb(t, lo, hi):
+    """[16, B] limb-major -> [32, B] MSB-first 4-bit digits of limbs
+    [lo, hi) (hi-lo == 8, i.e. one 128-bit half)."""
+    parts = []
+    for i in range(hi - 1, lo - 1, -1):
+        limb = t[i]
+        for j in (3, 2, 1, 0):
+            parts.append((limb >> (4 * j)) & 0xF)
+    return jnp.stack(parts, axis=0)
+
+
+def verify_tpu(msg32, sig64, px32, tb: int = 512):
+    """BIP-340 verify through the fused Pallas pipeline: lift_x kernel,
+    GLV-split kernel on the challenge (signs flipped for -e), the GLV
+    Strauss ecmult kernel, and the R-acceptance kernel (x(R)==r, even
+    y via one in-kernel z inverse).  Semantics match :func:`verify`."""
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_group as PG
+    from ..ops import pallas_scalar as PS
+
+    B = msg32.shape[0]
+    rx, rx_ovf = F.from_bytes_be(sig64[..., :32])
+    s, s_ovf = S.from_bytes_be(sig64[..., 32:])
+    pkx, pkx_ovf = F.from_bytes_be(px32)
+
+    ch_msg = jnp.concatenate([sig64[..., :32], px32, msg32], axis=-1)
+    e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
+                                                 ch_msg))
+    e, _ = S.from_bytes_be(e_b)
+
+    pkx_t = _pad_to(jnp.transpose(pkx.v), tb)
+    py_t, on_curve = PF.lift_x_tpu(pkx_t, tb=tb)
+
+    e_t = _pad_to(jnp.transpose(S.normalize(e).v), tb)
+    edigs, eflags = PS.glv_split_tpu(e_t, tb=tb)
+    eflags = eflags ^ jnp.uint32(1)          # R = s*G + (-e)*P
+
+    s_t = _pad_to(jnp.transpose(s.v), tb)
+    digs = jnp.concatenate(
+        [_digits_rows_msb(s_t, 0, 8), _digits_rows_msb(s_t, 8, 16),
+         edigs], axis=0)
+
+    Bp = pkx_t.shape[-1]
+    pinf = jnp.zeros((Bp,), bool)
+    x, y, z, inf, _ = PG.ecmult_glv_tpu(digs, eflags, pkx_t, py_t, pinf,
+                                        rx=None, tb=tb)
+    rx_t = _pad_to(jnp.transpose(F.normalize(rx).v), tb)
+    okk = PF.schnorr_check_tpu(x, y, z, inf, rx_t, tb=tb)
+    return (okk[:B] & on_curve[:B] & ~pkx_ovf & ~rx_ovf & ~s_ovf)
+
+
 # API parity: the reference distinguishes sign32 (32-byte message) from
 # sign_custom (any length + extraparams); here both route through the
 # same static-shape kernel — msg length is a trace-time constant.

@@ -1,0 +1,669 @@
+"""Pallas TPU kernel for the verify engine: R = u1*G + u2*P, fused.
+
+The entire double-scalar multiplication — per-lane P odd-multiple table
+build, 64 fixed 4-bit windows of (4 doublings + P-add + G-add), complete
+branchless group formulas — runs as ONE Mosaic kernel.  Field elements
+are **limb-major**: sixteen [TB]-wide uint32 vectors with the batch on
+the VPU lanes and limb indices unrolled in the instruction stream, so
+there are no cross-lane shuffles anywhere (the jnp path's column sums
+pay lane-crossing pad/reshapes per multiply; see ops/pallas_field.py).
+
+Group formulas mirror ops/group.py (which mirrors src/group_impl.h:468,
+:732): complete addition via the (M, Rn/Rd) degenerate-case select, so
+the dataflow is fixed and secret-independent.
+
+Table lookups are full-table cmov scans (16 selects), the vector analog
+of the reference's scan (src/ecmult_const_impl.h:61) — per-lane dynamic
+indexing is not a TPU vector primitive, and the scan is cheap relative
+to the window's field ops.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_field import LIMBS, _mul_limbs, _sqr_limbs
+
+MASK16 = 0xFFFF
+_P_LIMBS = tuple(((2 ** 256 - 2 ** 32 - 977) >> (16 * i)) & 0xFFFF
+                 for i in range(16))
+_MIN_P_LIMB = min(_P_LIMBS)  # 0xFC2F
+
+
+class FE:
+    """Field element inside a kernel: 16 [TB] uint32 limb vectors plus a
+    static per-limb bound (the ops/limb.py magnitude discipline)."""
+
+    __slots__ = ("l", "bound")
+
+    def __init__(self, limbs, bound):
+        self.l = list(limbs)
+        self.bound = int(bound)
+
+
+def fe_weak(a: FE) -> FE:
+    """Carry-normalize to limbs <= 0xFFFF (value may exceed p once).
+    Requires bound + 2^16 < 2^32."""
+    assert a.bound <= 0xFFFF0000, hex(a.bound)
+    if a.bound <= MASK16:
+        return a
+    out = []
+    carry = None
+    for i in range(LIMBS):
+        t = a.l[i] if carry is None else a.l[i] + carry
+        out.append(t & MASK16)
+        carry = t >> 16
+    # fold carry * 2^256 === carry * (2^32 + 977); carry <= bound>>16
+    out[0] = out[0] + carry * 977          # <= 0xFFFF + 2^16*977 < 2^32
+    out[2] = out[2] + carry
+    carry = None
+    for i in range(LIMBS):
+        t = out[i] if carry is None else out[i] + carry
+        out[i] = t & MASK16
+        carry = t >> 16
+    # second carry-out is 0/1; if 1 the remaining value is tiny, so a
+    # short fold+mini-ripple over the low limbs finishes exactly.
+    out[0] = out[0] + carry * 977
+    out[2] = out[2] + carry
+    c = None
+    for i in range(6):
+        t = out[i] if c is None else out[i] + c
+        out[i] = t & MASK16
+        c = t >> 16
+    return FE(out, MASK16)
+
+
+def fe_mul(a: FE, b: FE) -> FE:
+    a, b = fe_weak(a), fe_weak(b)
+    return FE(_mul_limbs(a.l, b.l), MASK16)
+
+
+def fe_sqr(a: FE) -> FE:
+    a = fe_weak(a)
+    return FE(_sqr_limbs(a.l), MASK16)
+
+
+def fe_add(a: FE, b: FE) -> FE:
+    bound = a.bound + b.bound
+    assert bound < 0xFFFF0000
+    return FE([x + y for x, y in zip(a.l, b.l)], bound)
+
+
+def fe_mul_int(a: FE, k: int) -> FE:
+    assert a.bound * k < 0xFFFF0000
+    return FE([x * k for x in a.l], a.bound * k)
+
+
+def fe_neg(a: FE) -> FE:
+    """k*p - a (cf. fe_negate magnitude rule, src/field.h:214)."""
+    k = a.bound // _MIN_P_LIMB + 1
+    kp = [k * pl for pl in _P_LIMBS]
+    assert max(kp) < 0xFFFF0000
+    return FE([jnp.uint32(kpi) - x for kpi, x in zip(kp, a.l)], max(kp))
+
+
+def fe_sub(a: FE, b: FE) -> FE:
+    return fe_add(a, fe_neg(b))
+
+
+def fe_select(mask, a: FE, b: FE) -> FE:
+    """mask ? a : b, elementwise on [TB] lanes."""
+    return FE([jnp.where(mask, x, y) for x, y in zip(a.l, b.l)],
+              max(a.bound, b.bound))
+
+
+def fe_is_zero(a: FE):
+    """Canonical zero test: normalize fully then OR-compare."""
+    a = fe_weak(a)
+    # conditional subtract p: x >= p  <=>  x + (2^256-p) carries out
+    red = (977, 0, 1)
+    t = []
+    carry = None
+    for i in range(LIMBS):
+        s = a.l[i] + (red[i] if i < 3 else 0)
+        s = s if carry is None else s + carry
+        t.append(s & MASK16)
+        carry = s >> 16
+    ge_p = carry > 0
+    acc = None
+    for i in range(LIMBS):
+        v = jnp.where(ge_p, t[i], a.l[i])
+        acc = v if acc is None else acc | v
+    return acc == 0
+
+
+def fe_zero(template) -> FE:
+    z = jnp.zeros_like(template)
+    return FE([z] * LIMBS, 0)
+
+
+def fe_one(template) -> FE:
+    z = jnp.zeros_like(template)
+    return FE([z + 1] + [z] * (LIMBS - 1), MASK16)
+
+
+class JP:
+    """Jacobian point in kernel form: FE coords + [TB] uint32 0/1 inf
+    mask (Mosaic dislikes i1 vectors in loop carries)."""
+
+    __slots__ = ("x", "y", "z", "inf")
+
+    def __init__(self, x, y, z, inf):
+        self.x, self.y, self.z, self.inf = x, y, z, inf
+
+
+def jp_inf(template) -> JP:
+    return JP(fe_zero(template), fe_one(template), fe_one(template),
+              jnp.ones_like(template))
+
+
+def _b(inf_u32):
+    return inf_u32 != 0
+
+
+def jp_double(a: JP) -> JP:
+    """Mirror of ops/group.py gej_double (src/group_impl.h:468)."""
+    A = fe_sqr(a.x)
+    B = fe_sqr(a.y)
+    C = fe_sqr(B)
+    t = fe_sqr(fe_add(fe_weak(a.x), B))
+    D = fe_weak(fe_mul_int(fe_sub(fe_sub(t, A), C), 2))
+    E = fe_mul_int(A, 3)
+    Fq = fe_sqr(E)
+    X3 = fe_weak(fe_sub(Fq, fe_mul_int(D, 2)))
+    Y3 = fe_weak(fe_sub(fe_mul(E, fe_sub(D, X3)), fe_mul_int(C, 8)))
+    Z3 = fe_mul(fe_mul_int(fe_weak(a.y), 2), a.z)
+    return JP(X3, Y3, Z3, a.inf)
+
+
+def _jp_add_core(U1, S1, U2, S2, Zmul, a: JP, bx, by, b_inf):
+    """Mirror of ops/group.py _add_core (complete addition)."""
+    T = fe_weak(fe_add(U1, U2))
+    M = fe_weak(fe_add(S1, S2))
+    Rn = fe_sub(fe_sqr(T), fe_mul(U1, U2))
+    Rd = fe_sub(S1, S2)
+    Md = fe_sub(U1, U2)
+    deg = fe_is_zero(M)
+    n = fe_select(deg, fe_weak(Rd), fe_weak(Rn))
+    m = fe_select(deg, fe_weak(Md), M)
+    inf3 = deg & fe_is_zero(Md)
+
+    m2 = fe_sqr(m)
+    m3 = fe_mul(m2, m)
+    n2 = fe_sqr(n)
+    X3 = fe_weak(fe_sub(n2, fe_mul(T, m2)))
+    Y3 = fe_weak(fe_sub(fe_mul(n, fe_sub(fe_mul(U1, m2), X3)),
+                        fe_mul(S1, m3)))
+    Z3 = fe_mul(Zmul, m)
+
+    one = fe_one(X3.l[0])
+    ax, ay, az = fe_weak(a.x), fe_weak(a.y), fe_weak(a.z)
+    a_inf = _b(a.inf)
+    bi = _b(b_inf)
+    X3 = fe_select(a_inf, bx, fe_select(bi, ax, X3))
+    Y3 = fe_select(a_inf, by, fe_select(bi, ay, Y3))
+    Z3 = fe_select(a_inf, one, fe_select(bi, az, fe_weak(Z3)))
+    inf = jnp.where(a_inf, b_inf,
+                    jnp.where(bi, a.inf, inf3.astype(jnp.uint32)))
+    return JP(X3, Y3, Z3, inf)
+
+
+def jp_add_aff(a: JP, bx: FE, by: FE, b_inf) -> JP:
+    """Complete mixed addition a + (bx, by) affine
+    (cf. gej_add_ge, src/group_impl.h:732)."""
+    ZZ = fe_sqr(a.z)
+    U1 = fe_weak(a.x)
+    U2 = fe_mul(bx, ZZ)
+    S1 = fe_weak(a.y)
+    S2 = fe_mul(fe_mul(by, ZZ), a.z)
+    return _jp_add_core(U1, S1, U2, S2, a.z, a, fe_weak(bx), fe_weak(by),
+                        b_inf)
+
+
+def jp_add(a: JP, b: JP) -> JP:
+    """Complete general addition (jacobian + jacobian)."""
+    Z11 = fe_sqr(a.z)
+    Z22 = fe_sqr(b.z)
+    U1 = fe_mul(a.x, Z22)
+    U2 = fe_mul(b.x, Z11)
+    S1 = fe_mul(fe_mul(a.y, Z22), b.z)
+    S2 = fe_mul(fe_mul(b.y, Z11), a.z)
+    Zc = fe_mul(a.z, b.z)
+    out = _jp_add_core(U1, S1, U2, S2, Zc, a, fe_weak(b.x), fe_weak(b.y),
+                       b.inf)
+    Z3 = fe_select(_b(a.inf), fe_weak(b.z), out.z)
+    return JP(out.x, out.y, Z3, out.inf)
+
+
+def jp_select(mask, a: JP, b: JP) -> JP:
+    return JP(fe_select(mask, a.x, b.x), fe_select(mask, a.y, b.y),
+              fe_select(mask, a.z, b.z), jnp.where(mask, a.inf, b.inf))
+
+
+# ---------------------------------------------------------------------------
+# The fused verify ecmult kernel
+# ---------------------------------------------------------------------------
+
+
+def _load_fe(ref, row0):
+    return FE([ref[row0 + i, :] for i in range(LIMBS)], MASK16)
+
+
+def _fe_flat(a: FE):
+    return tuple(a.l)
+
+
+def _fe_unflat(t):
+    return FE(list(t), MASK16)
+
+
+def _jp_flat(p: JP):
+    return (_fe_flat(fe_weak(p.x)), _fe_flat(fe_weak(p.y)),
+            _fe_flat(fe_weak(p.z)), p.inf)
+
+
+def _jp_unflat(t):
+    return JP(_fe_unflat(t[0]), _fe_unflat(t[1]), _fe_unflat(t[2]), t[3])
+
+
+@lru_cache(maxsize=1)
+def _g_small_limbs():
+    """Python-int limb matrix of d*G for d in 1..15 — baked into the
+    kernel as scalar constants (the analog of precomputed_ecmult.c)."""
+    from ..utils import hostcurve
+    out = {}
+    for d in range(1, 16):
+        x, y = hostcurve.mul(d)
+        out[d] = ([(x >> (16 * i)) & 0xFFFF for i in range(LIMBS)],
+                  [(y >> (16 * i)) & 0xFFFF for i in range(LIMBS)])
+    return out
+
+
+def _ecmult_kernel(d1_ref, d2_ref, px_ref, py_ref, pinf_ref,
+                   ox_ref, oy_ref, oz_ref, oinf_ref):
+    """R = u1*G + u2*P per lane, windows as a fori_loop (compile-size:
+    ONE window body instead of 64 unrolled copies).
+
+    d1/d2: [64, TB] uint32 4-bit window digits, **MSB-first**;
+    px/py: [16, TB]; pinf: [1, TB] uint32 0/1; small G multiples are
+    compile-time constants; outputs jacobian + inf mask (uint32)."""
+    from jax.experimental import pallas as pl
+
+    px = _load_fe(px_ref, 0)
+    py = _load_fe(py_ref, 0)
+    p_inf = pinf_ref[0, :]          # uint32 0/1
+    tb = px.l[0]
+
+    # --- per-lane P table: jacobian 0..15 multiples, built with a
+    # fori_loop over the repeated-add (one add body) -----------------------
+    one = JP(px, py, fe_one(tb), p_inf)
+    two = jp_double(one)
+    tab = [jp_inf(tb), one, two]
+    prev = _jp_flat(two)
+
+    # Entries 3..15 must be Python-level values for the select scan, so
+    # this short chain stays unrolled: 13 mixed adds.
+    for d in range(3, 16):
+        nxt = jp_add_aff(_jp_unflat(prev), px, py, p_inf)
+        tab.append(nxt)
+        prev = _jp_flat(nxt)
+
+    gtab = _g_small_limbs()
+
+    def gather_p(d):
+        acc = tab[0]
+        for e in range(1, 16):
+            acc = jp_select(d == e, tab[e], acc)
+        return acc
+
+    def gather_g_sel(d):
+        gx = fe_zero(tb)
+        gy = fe_zero(tb)
+        for e in range(1, 16):
+            exl, eyl = gtab[e]
+            m = d == e
+            gx = FE([jnp.where(m, jnp.uint32(c), v)
+                     for c, v in zip(exl, gx.l)], MASK16)
+            gy = FE([jnp.where(m, jnp.uint32(c), v)
+                     for c, v in zip(eyl, gy.l)], MASK16)
+        return gx, gy, d == 0
+
+    def window(w, carry):
+        acc = _jp_unflat(carry)
+        for _ in range(4):
+            acc = jp_double(acc)   # doubling infinity is absorbed by inf
+        d2 = d2_ref[w, :]
+        acc = jp_add(acc, gather_p(d2))
+        d1 = d1_ref[w, :]
+        gx, gy, ginf = gather_g_sel(d1)
+        acc = jp_add_aff(acc, gx, gy, ginf.astype(jnp.uint32))
+        return _jp_flat(acc)
+
+    out = jax.lax.fori_loop(0, 64, window, _jp_flat(jp_inf(tb)))
+    acc = _jp_unflat(out)
+    for i in range(LIMBS):
+        ox_ref[i, :] = acc.x.l[i]
+        oy_ref[i, :] = acc.y.l[i]
+        oz_ref[i, :] = acc.z.l[i]
+    oinf_ref[0, :] = acc.inf
+
+
+@lru_cache(maxsize=4)
+def _ecmult_call(tb: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    @jax.jit
+    def run(u1, u2, px, py, pinf):
+        B = u1.shape[-1]
+        grid = (B // tb,)
+
+        def digits_msb(u):
+            # [16, B] limbs -> [64, B] 4-bit digits, MSB-first
+            parts = []
+            for i in range(LIMBS - 1, -1, -1):
+                limb = u[i]
+                for j in (3, 2, 1, 0):
+                    parts.append((limb >> (4 * j)) & 0xF)
+            return jnp.stack(parts, axis=0)
+
+        d1 = digits_msb(u1)
+        d2 = digits_msb(u2)
+        spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        spec64 = pl.BlockSpec((64, tb), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        spec1 = pl.BlockSpec((1, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        ox, oy, oz, oinf = pl.pallas_call(
+            _ecmult_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((1, B), jnp.uint32),
+            ),
+            grid=grid,
+            in_specs=[spec64, spec64, spec16, spec16, spec1],
+            out_specs=(spec16, spec16, spec16, spec1),
+        )(d1, d2, px, py, pinf)
+        return ox, oy, oz, oinf
+
+    return run
+
+
+def ecmult_tpu(u1, u2, px, py, pinf, tb: int = 512):
+    """Fused u1*G + u2*P on limb-major [16, B] uint32 tensors.
+
+    Returns (x, y, z [16, B], inf [B] bool) in jacobian form."""
+    ox, oy, oz, oinf = _ecmult_call(tb)(
+        u1, u2, px, py, pinf.astype(jnp.uint32)[None, :])
+    return ox, oy, oz, oinf[0] != 0
+
+
+# ---------------------------------------------------------------------------
+# GLV ecmult kernel: R = u1*G + u2*P with the endomorphism split.
+#
+# 32 windows x (4 doublings + 4 mixed adds): two 128-bit halves of u1
+# against constant tables of G and 2^128*G, and |a1|*P' + |a2|*lambda*P'
+# from the prep kernel's lambda split (pallas_scalar.ecdsa_prep_tpu).
+# The per-lane P table is built once, then brought to a single global Z
+# ("effective affine", cf. secp256k1_ge_table_set_globalz,
+# src/group_impl.h:289 and the Strauss setup src/ecmult_impl.h:73-115)
+# so every window add is a *mixed* add; the constant G tables are scaled
+# into the same frame (the inverse direction of gej_add_zinv_var,
+# src/group_impl.h:661 — scaling 30 table points once beats un-scaling
+# every add).  The ECDSA x(R) === r check (incl. the r+n overflow case,
+# src/ecdsa_impl.h:246-268) runs in the kernel epilogue so no 256-bit
+# math ever leaves Mosaic.
+# ---------------------------------------------------------------------------
+
+_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+_N_ORDER = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+_P = 2 ** 256 - 2 ** 32 - 977
+
+
+def _cl(x: int, k: int = 16):
+    return tuple((x >> (16 * i)) & 0xFFFF for i in range(k))
+
+
+def fe_mul_const(a: FE, c_limbs) -> FE:
+    """FE times python-int limb constants (weak output)."""
+    a = fe_weak(a)
+    return FE(_mul_limbs(a.l, list(c_limbs)), MASK16)
+
+
+def _fe_const(template, c_limbs) -> FE:
+    z = jnp.zeros_like(template)
+    return FE([z + int(c) for c in c_limbs], MASK16)
+
+
+@lru_cache(maxsize=1)
+def _g_tables_int():
+    """(d*G, d*2^128*G) for d in 1..15 as limb-int tuples."""
+    from ..utils import hostcurve
+    g, g128 = [], []
+    for d in range(1, 16):
+        x, y = hostcurve.mul(d)
+        g.append((_cl(x), _cl(y)))
+        x, y = hostcurve.mul((d << 128) % hostcurve.N)
+        g128.append((_cl(x), _cl(y)))
+    return g, g128
+
+
+def _add_aff_ratio(ax: FE, ay: FE, az: FE, bx: FE, by: FE):
+    """Complete mixed add for the table build (inputs never infinity);
+    returns (X3, Y3, Z3, m) where Z3 = az*m — m is the z-ratio the
+    globalz pass needs (cf. gej_add_ge_var's zr, src/group_impl.h:598)."""
+    ZZ = fe_sqr(az)
+    U1 = fe_weak(ax)
+    U2 = fe_mul(bx, ZZ)
+    S1 = fe_weak(ay)
+    S2 = fe_mul(fe_mul(by, ZZ), az)
+    T = fe_weak(fe_add(U1, U2))
+    M = fe_weak(fe_add(S1, S2))
+    Rn = fe_sub(fe_sqr(T), fe_mul(U1, U2))
+    Rd = fe_sub(S1, S2)
+    Md = fe_sub(U1, U2)
+    deg = fe_is_zero(M)
+    n_ = fe_select(deg, fe_weak(Rd), fe_weak(Rn))
+    m_ = fe_select(deg, fe_weak(Md), M)
+    m2 = fe_sqr(m_)
+    m3 = fe_mul(m2, m_)
+    n2 = fe_sqr(n_)
+    X3 = fe_weak(fe_sub(n2, fe_mul(T, m2)))
+    Y3 = fe_weak(fe_sub(fe_mul(n_, fe_sub(fe_mul(U1, m2), X3)),
+                        fe_mul(S1, m3)))
+    Z3 = fe_mul(az, m_)
+    return X3, Y3, Z3, m_
+
+
+def _gather15(xs, ys, d):
+    """Select table entry d (1..15); d==0 is masked by the caller."""
+    gx, gy = xs[1], ys[1]
+    for e in range(2, 16):
+        m = d == e
+        gx = fe_select(m, xs[e], gx)
+        gy = fe_select(m, ys[e], gy)
+    return gx, gy
+
+
+def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
+                       ox_ref, oy_ref, oz_ref, oinf_ref, ok_ref,
+                       *, check: bool):
+    px_in = _load_fe(px_ref, 0)
+    py_in = _load_fe(py_ref, 0)
+    p_inf = misc_ref[0, :]                  # uint32 0/1
+    neg1 = misc_ref[1, :]
+    neg2 = misc_ref[2, :]
+    pinf_b = _b(p_inf)
+    tb = px_in.l[0]
+
+    # For infinity lanes substitute G so the table build stays on-curve;
+    # the A-stream adds are masked off below.
+    gx0, gy0 = _g_tables_int()[0][0]
+    px = fe_select(pinf_b, _fe_const(tb, gx0), px_in)
+    py = fe_select(pinf_b, _fe_const(tb, gy0), py_in)
+    # Fold the a1 sign into the table's y; the a2 stream re-flips when
+    # the two half-scalar signs differ.
+    pyc = fe_weak(fe_select(_b(neg1), fe_neg(fe_weak(py)), fe_weak(py)))
+    flip = _b(neg1 ^ neg2)
+
+    # --- P table 1..15, jacobian build with z-ratio tracking ------------
+    one = fe_one(tb)
+    X = [None] * 16
+    Y = [None] * 16
+    R = [None] * 16                         # z-ratios: z_d = z_{d-1}*r_d
+    X[1], Y[1] = fe_weak(px), pyc
+    d2 = jp_double(JP(px, pyc, one, jnp.zeros_like(tb)))
+    X[2], Y[2], Z2 = d2.x, d2.y, d2.z
+    R[2] = Z2
+    pz = Z2
+    for d in range(3, 16):
+        X[d], Y[d], pz, R[d] = _add_aff_ratio(X[d - 1], Y[d - 1], pz,
+                                              px, pyc)
+    Zg = pz                                 # global Z = z_15
+
+    # --- bring table to global Z (ge_table_set_globalz shape) -----------
+    axs = [None] * 16
+    ays = [None] * 16
+    axs[15], ays[15] = fe_weak(X[15]), fe_weak(Y[15])
+    acc = None
+    for d in range(14, 0, -1):
+        acc = R[d + 1] if acc is None else fe_mul(acc, R[d + 1])
+        a2c = fe_sqr(acc)
+        axs[d] = fe_mul(X[d], a2c)
+        ays[d] = fe_mul(Y[d], fe_mul(a2c, acc))
+
+    # --- lambda table: x *= beta (ge_mul_lambda, src/group_impl.h:925) --
+    beta = _cl(_BETA)
+    bxs = [None] * 16
+    for d in range(1, 16):
+        bxs[d] = fe_mul_const(axs[d], beta)
+
+    # --- constant G tables scaled into the frame ------------------------
+    ZZ = fe_sqr(Zg)
+    ZZZ = fe_mul(ZZ, Zg)
+    gtab, g128tab = _g_tables_int()
+    gxs = [None] * 16
+    gys = [None] * 16
+    hxs = [None] * 16
+    hys = [None] * 16
+    for d in range(1, 16):
+        gxs[d] = fe_mul_const(ZZ, gtab[d - 1][0])
+        gys[d] = fe_mul_const(ZZZ, gtab[d - 1][1])
+        hxs[d] = fe_mul_const(ZZ, g128tab[d - 1][0])
+        hys[d] = fe_mul_const(ZZZ, g128tab[d - 1][1])
+
+    def window(w, carry):
+        acc = _jp_unflat(carry)
+        for _ in range(4):
+            acc = jp_double(acc)
+        dglo = d_ref[w, :]
+        dghi = d_ref[32 + w, :]
+        da1 = d_ref[64 + w, :]
+        da2 = d_ref[96 + w, :]
+        # a1 * P'
+        gx, gy = _gather15(axs, ays, da1)
+        acc = jp_add_aff(acc, gx, gy, ((da1 == 0) | pinf_b).astype(jnp.uint32))
+        # a2 * lambda*P' (sign re-flip when neg2 != neg1)
+        gx, gy = _gather15(bxs, ays, da2)
+        gy = fe_select(flip, fe_weak(fe_neg(gy)), gy)
+        acc = jp_add_aff(acc, gx, gy, ((da2 == 0) | pinf_b).astype(jnp.uint32))
+        # u1_hi * 2^128*G  +  u1_lo * G
+        gx, gy = _gather15(hxs, hys, dghi)
+        acc = jp_add_aff(acc, gx, gy, (dghi == 0).astype(jnp.uint32))
+        gx, gy = _gather15(gxs, gys, dglo)
+        acc = jp_add_aff(acc, gx, gy, (dglo == 0).astype(jnp.uint32))
+        return _jp_flat(acc)
+
+    out = jax.lax.fori_loop(0, 32, window, _jp_flat(jp_inf(tb)))
+    accp = _jp_unflat(out)
+    # leave the frame: real jacobian z = z_frame * Zg
+    oz = fe_mul(accp.z, Zg)
+    for i in range(LIMBS):
+        ox_ref[i, :] = fe_weak(accp.x).l[i]
+        oy_ref[i, :] = fe_weak(accp.y).l[i]
+        oz_ref[i, :] = oz.l[i]
+    oinf_ref[0, :] = accp.inf
+
+    if check:
+        # x(R) === r (mod n): inversion-free check with the r+n overflow
+        # candidate gated on r < p - n (src/ecdsa_impl.h:246-268).
+        xr = _load_fe(rx_ref, 0)
+        zz2 = fe_sqr(oz)
+        eq1 = fe_is_zero(fe_sub(fe_mul(xr, zz2), accp.x))
+        # r >= p - n  <=>  r + (2^256 - (p-n)) carries out
+        comp = _cl((1 << 256) - (_P - _N_ORDER))
+        c = None
+        for i in range(LIMBS):
+            t = xr.l[i] + comp[i]
+            t = t if c is None else t + c
+            c = t >> 16
+        lt = c == 0
+        xr2 = fe_weak(fe_add(xr, _fe_const(tb, _cl(_N_ORDER))))
+        eq2 = fe_is_zero(fe_sub(fe_mul(xr2, zz2), accp.x))
+        okv = (eq1 | (eq2 & lt)) & (accp.inf == 0)
+        ok_ref[0, :] = okv.astype(jnp.uint32)
+    else:
+        ok_ref[0, :] = jnp.zeros_like(tb)
+
+
+@lru_cache(maxsize=4)
+def _ecmult_glv_call(tb: int, check: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from functools import partial
+
+    kern = partial(_ecmult_glv_kernel, check=check)
+
+    @jax.jit
+    def run(digs, px, py, misc, rx):
+        B = px.shape[-1]
+        spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        spec128 = pl.BlockSpec((128, tb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        spec4 = pl.BlockSpec((4, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        spec1 = pl.BlockSpec((1, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((1, B), jnp.uint32),
+                jax.ShapeDtypeStruct((1, B), jnp.uint32),
+            ),
+            grid=(B // tb,),
+            in_specs=[spec128, spec16, spec16, spec4, spec16],
+            out_specs=(spec16, spec16, spec16, spec1, spec1),
+        )(digs, px, py, misc, rx)
+
+    return run
+
+
+def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int = 512):
+    """GLV double-scalar mult from prep-kernel digit streams.
+
+    digs: [128, B] digits (see pallas_scalar.ecdsa_prep_tpu); flags:
+    [2, B] (neg1, neg2); px/py: [16, B]; pinf: [B] bool; rx: [16, B]
+    canonical r limbs to enable the fused ECDSA x(R)===r check.
+
+    Returns (x, y, z [16, B], inf [B] bool, ok [B] bool)."""
+    B = px.shape[-1]
+    misc = jnp.concatenate(
+        [pinf.astype(jnp.uint32)[None, :], flags,
+         jnp.zeros((1, B), jnp.uint32)], axis=0)
+    check = rx is not None
+    if rx is None:
+        rx = jnp.zeros((LIMBS, B), jnp.uint32)
+    ox, oy, oz, oinf, ok = _ecmult_glv_call(tb, check)(
+        digs, px, py, misc, rx)
+    return ox, oy, oz, oinf[0] != 0, ok[0] != 0

@@ -1,0 +1,157 @@
+"""Parity tests for the TPU-only Pallas fast paths against the host
+oracle.  These need real TPU hardware (Mosaic kernels): run with
+
+    SECP_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_pallas_tpu.py
+
+On the default CPU suite they skip (the same algebra is covered by the
+jnp-path tests; kernels and jnp path share formulas, and test_glv.py
+checks the split helpers directly on CPU).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import oracle
+from secp256k1_zkp_tpu.utils import hostcurve
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="Mosaic kernels need TPU; CPU suite covers the jnp path")
+
+B = 512  # one kernel block (tb=512): smallest compile
+
+
+@pytest.fixture(scope="module")
+def ecdsa_batch(rng):
+    msgs = np.zeros((B, 32), np.uint8)
+    sigs = np.zeros((B, 64), np.uint8)
+    pub65 = np.zeros((B, 65), np.uint8)
+    expect = np.zeros(B, bool)
+    for i in range(B):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        r_, s_, _rec = oracle.ecdsa_sign(msg, d)
+        sig = bytearray(r_.to_bytes(32, "big") + s_.to_bytes(32, "big"))
+        P = hostcurve.mul(d)
+        pub65[i, 0] = 4
+        pub65[i, 1:33] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+        pub65[i, 33:] = np.frombuffer(P[1].to_bytes(32, "big"), np.uint8)
+        good = True
+        if i % 5 == 1:
+            sig[40] ^= 1
+            good = False
+        elif i % 5 == 2:
+            msg = bytes([msg[0] ^ 0x80]) + msg[1:]
+            good = False
+        elif i % 5 == 3:  # high-s rejection
+            s2 = hostcurve.N - s_
+            sig[32:] = s2.to_bytes(32, "big")
+            good = False
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        sigs[i] = np.frombuffer(bytes(sig), np.uint8)
+        expect[i] = good
+    return msgs, sigs, pub65, expect
+
+
+def test_ecdsa_verify_tpu(ecdsa_batch):
+    from secp256k1_zkp_tpu.modules import ecdsa
+    from secp256k1_zkp_tpu.modules.eckey import pubkey_parse
+    msgs, sigs, pub65, expect = ecdsa_batch
+    pub, pok = pubkey_parse(jnp.asarray(pub65))
+    assert np.asarray(pok).all()
+    ok = np.asarray(jax.block_until_ready(
+        ecdsa.verify_tpu(jnp.asarray(msgs), jnp.asarray(sigs), pub)))
+    assert (ok == expect).all()
+
+
+def test_schnorr_verify_tpu(rng):
+    from secp256k1_zkp_tpu.modules import schnorrsig
+    msgs = np.zeros((B, 32), np.uint8)
+    sigs = np.zeros((B, 64), np.uint8)
+    pxs = np.zeros((B, 32), np.uint8)
+    expect = np.zeros(B, bool)
+    for i in range(B):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        sig = bytearray(oracle.schnorr_sign(msg, d))
+        P = hostcurve.mul(d)
+        if P[1] & 1:
+            d = hostcurve.N - d
+            P = hostcurve.mul(d)
+        good = True
+        if i % 4 == 1:
+            sig[50] ^= 4
+            good = False
+        elif i % 4 == 2:
+            msg = bytes([msg[3] ^ 1]) + msg[1:31] + bytes([msg[31]])
+            good = False
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        sigs[i] = np.frombuffer(bytes(sig), np.uint8)
+        pxs[i] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+        expect[i] = good
+    ok = np.asarray(jax.block_until_ready(schnorrsig.verify_tpu(
+        jnp.asarray(msgs), jnp.asarray(sigs), jnp.asarray(pxs))))
+    assert (ok == expect).all()
+
+
+def test_pedersen_commit_tpu(rng):
+    from secp256k1_zkp_tpu.modules import generator as gen_mod
+    from secp256k1_zkp_tpu.ops import field as F, group as G
+
+    key = np.frombuffer(rng.bytes(32), np.uint8).reshape(1, 32)
+    Hgen_j, okg = gen_mod.generator_generate(jnp.asarray(np.repeat(key, B,
+                                                                   0)))
+    blinds = np.zeros((B, 32), np.uint8)
+    vhi = rng.integers(0, 2 ** 32, B, dtype=np.uint64).astype(np.uint32)
+    vlo = rng.integers(0, 2 ** 32, B, dtype=np.uint64).astype(np.uint32)
+    for i in range(B):
+        blinds[i] = np.frombuffer(rng.bytes(32), np.uint8)
+    blinds[:, 0] &= 0x7F
+
+    c33, ok = gen_mod.pedersen_commit_tpu(
+        jnp.asarray(blinds), jnp.asarray(vhi), jnp.asarray(vlo), Hgen_j)
+    c33 = np.asarray(jax.block_until_ready(c33))
+    assert np.asarray(ok).all()
+
+    # host oracle: commit = blind*G + v*H
+    Hx = int.from_bytes(bytes(np.asarray(
+        F.to_bytes_be(F.normalize(Hgen_j.x))[0])), "big")
+    Hy = int.from_bytes(bytes(np.asarray(
+        F.to_bytes_be(F.normalize(Hgen_j.y))[0])), "big")
+    for i in range(0, B, 37):
+        b = int.from_bytes(bytes(blinds[i]), "big") % hostcurve.N
+        v = (int(vhi[i]) << 32) | int(vlo[i])
+        C = hostcurve.add(hostcurve.mul(b),
+                          hostcurve.mul(v, (Hx, Hy)))
+        sq = pow(C[1], (hostcurve.P - 1) // 2, hostcurve.P) == 1
+        want = bytes([8 if sq else 9]) + C[0].to_bytes(32, "big")
+        assert bytes(c33[i]) == want, i
+
+
+def test_lift_x_and_affine_meta(rng):
+    from secp256k1_zkp_tpu.ops import pallas_field as PF
+    xs = np.zeros((16, B), np.uint32)
+    vals = []
+    for i in range(B):
+        x = int.from_bytes(rng.bytes(32), "big") % hostcurve.P
+        vals.append(x)
+        for l in range(16):
+            xs[l, i] = (x >> (16 * l)) & 0xFFFF
+    y, on = jax.block_until_ready(PF.lift_x_tpu(jnp.asarray(xs)))
+    y = np.asarray(y)
+    on = np.asarray(on)
+    for i in range(0, B, 29):
+        x = vals[i]
+        y2 = (pow(x, 3, hostcurve.P) + 7) % hostcurve.P
+        yy = pow(y2, (hostcurve.P + 1) // 4, hostcurve.P)
+        valid = (yy * yy) % hostcurve.P == y2
+        assert bool(on[i]) == valid, i
+        if valid:
+            if yy & 1:
+                yy = hostcurve.P - yy
+            got = 0
+            for l in range(16):
+                got |= int(y[l, i]) << (16 * l)
+            assert got == yy, i
