@@ -27,6 +27,18 @@ import numpy as np
 LIMBS = 16
 MASK16 = 0xFFFF  # python ints weak-type into uint32 ops without capture
 
+
+def auto_tb(B: int, cap: int = 2048) -> int:
+    """Largest power-of-two block <= cap dividing B (>= 256).
+
+    Wide blocks matter: each elementwise op then spans several vregs,
+    giving the VPU independent instructions to hide op latency (a lone
+    [512] stream leaves it ~3x idle — measured on the mulmod chain)."""
+    tb = 256
+    while tb * 2 <= cap and B % (tb * 2) == 0:
+        tb *= 2
+    return tb
+
 # p = 2^256 - 2^32 - 977; 2^256 === red (mod p), red = 2^32 + 977
 _RED_LO = 977
 
@@ -285,8 +297,10 @@ def _lift_x_call(tb: int):
     return run
 
 
-def lift_x_tpu(x, tb: int = 512):
+def lift_x_tpu(x, tb: int | None = None):
     """[16, B] canonical x -> (even-y [16, B] canonical, on_curve [B])."""
+    if tb is None:
+        tb = auto_tb(x.shape[-1])
     y, ok = _lift_x_call(tb)(x)
     return y, ok[0] != 0
 
@@ -352,8 +366,10 @@ def _schnorr_check_call(tb: int):
     return run
 
 
-def schnorr_check_tpu(x, y, z, inf, rx, tb: int = 512):
+def schnorr_check_tpu(x, y, z, inf, rx, tb: int | None = None):
     """BIP-340 R acceptance mask from limb-major jacobian R and r."""
+    if tb is None:
+        tb = auto_tb(x.shape[-1])
     ok = _schnorr_check_call(tb)(
         x, y, z, inf.astype(jnp.uint32)[None, :], rx)
     return ok[0] != 0
@@ -420,9 +436,11 @@ def _affine_meta_call(tb: int):
     return run
 
 
-def affine_meta_tpu(x, y, z, tb: int = 512):
+def affine_meta_tpu(x, y, z, tb: int | None = None):
     """[16, B] jacobian -> (x_aff, y_aff canonical, is_square(y_aff)).
 
     Infinity lanes (z == 0) return zeros; mask with inf outside."""
+    if tb is None:
+        tb = auto_tb(x.shape[-1])
     xa, ya, sq = _affine_meta_call(tb)(x, y, z)
     return xa, ya, sq[0] != 0

@@ -539,25 +539,29 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
         axs[d] = fe_mul(X[d], a2c)
         ays[d] = fe_mul(Y[d], fe_mul(a2c, acc))
 
-    # --- lambda table: x *= beta (ge_mul_lambda, src/group_impl.h:925) --
+    # --- frame scale for the immediate-constant G tables ----------------
+    # (G tables stay compile-time constants — gathered as select chains
+    # of immediates, then scaled by ZZ/ZZZ per window.  Keeping them out
+    # of VMEM lets tb grow, and wide tb is what feeds the VPU enough
+    # independent vregs to hide op latency.)
     beta = _cl(_BETA)
-    bxs = [None] * 16
-    for d in range(1, 16):
-        bxs[d] = fe_mul_const(axs[d], beta)
-
-    # --- constant G tables scaled into the frame ------------------------
     ZZ = fe_sqr(Zg)
     ZZZ = fe_mul(ZZ, Zg)
     gtab, g128tab = _g_tables_int()
-    gxs = [None] * 16
-    gys = [None] * 16
-    hxs = [None] * 16
-    hys = [None] * 16
-    for d in range(1, 16):
-        gxs[d] = fe_mul_const(ZZ, gtab[d - 1][0])
-        gys[d] = fe_mul_const(ZZZ, gtab[d - 1][1])
-        hxs[d] = fe_mul_const(ZZ, g128tab[d - 1][0])
-        hys[d] = fe_mul_const(ZZZ, g128tab[d - 1][1])
+
+    def gather_const(tab, d):
+        """Select-of-immediates over a 15-entry (x,y) int-limb table."""
+        x0, y0 = tab[0]
+        gx = FE([jnp.zeros_like(d) + int(c) for c in x0], MASK16)
+        gy = FE([jnp.zeros_like(d) + int(c) for c in y0], MASK16)
+        for e in range(2, 16):
+            m = d == e
+            ex, ey = tab[e - 1]
+            gx = FE([jnp.where(m, jnp.uint32(c), v)
+                     for c, v in zip(ex, gx.l)], MASK16)
+            gy = FE([jnp.where(m, jnp.uint32(c), v)
+                     for c, v in zip(ey, gy.l)], MASK16)
+        return gx, gy
 
     def window(w, carry):
         acc = _jp_unflat(carry)
@@ -570,15 +574,20 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
         # a1 * P'
         gx, gy = _gather15(axs, ays, da1)
         acc = jp_add_aff(acc, gx, gy, ((da1 == 0) | pinf_b).astype(jnp.uint32))
-        # a2 * lambda*P' (sign re-flip when neg2 != neg1)
-        gx, gy = _gather15(bxs, ays, da2)
+        # a2 * lambda*P': x *= beta on the gathered entry
+        # (ge_mul_lambda, src/group_impl.h:925); sign re-flip when
+        # neg2 != neg1
+        gx, gy = _gather15(axs, ays, da2)
+        gx = fe_mul_const(gx, beta)
         gy = fe_select(flip, fe_weak(fe_neg(gy)), gy)
         acc = jp_add_aff(acc, gx, gy, ((da2 == 0) | pinf_b).astype(jnp.uint32))
-        # u1_hi * 2^128*G  +  u1_lo * G
-        gx, gy = _gather15(hxs, hys, dghi)
-        acc = jp_add_aff(acc, gx, gy, (dghi == 0).astype(jnp.uint32))
-        gx, gy = _gather15(gxs, gys, dglo)
-        acc = jp_add_aff(acc, gx, gy, (dglo == 0).astype(jnp.uint32))
+        # u1_hi * 2^128*G  +  u1_lo * G  (immediates -> frame scale)
+        gx, gy = gather_const(g128tab, dghi)
+        acc = jp_add_aff(acc, fe_mul(gx, ZZ), fe_mul(gy, ZZZ),
+                         (dghi == 0).astype(jnp.uint32))
+        gx, gy = gather_const(gtab, dglo)
+        acc = jp_add_aff(acc, fe_mul(gx, ZZ), fe_mul(gy, ZZZ),
+                         (dglo == 0).astype(jnp.uint32))
         return _jp_flat(acc)
 
     out = jax.lax.fori_loop(0, 32, window, _jp_flat(jp_inf(tb)))
@@ -649,7 +658,7 @@ def _ecmult_glv_call(tb: int, check: bool):
     return run
 
 
-def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int = 512):
+def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
     """GLV double-scalar mult from prep-kernel digit streams.
 
     digs: [128, B] digits (see pallas_scalar.ecdsa_prep_tpu); flags:
@@ -657,7 +666,10 @@ def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int = 512):
     canonical r limbs to enable the fused ECDSA x(R)===r check.
 
     Returns (x, y, z [16, B], inf [B] bool, ok [B] bool)."""
+    from .pallas_field import auto_tb
     B = px.shape[-1]
+    if tb is None:
+        tb = auto_tb(B)
     misc = jnp.concatenate(
         [pinf.astype(jnp.uint32)[None, :], flags,
          jnp.zeros((1, B), jnp.uint32)], axis=0)

@@ -484,19 +484,25 @@ def _glv_only_call(tb: int):
     return run
 
 
-def glv_split_tpu(k, tb: int = 512):
+def glv_split_tpu(k, tb: int | None = None):
     """GLV lambda split of a canonical [16, B] scalar.
 
     Returns (digits [64, B]: |a1| rows 0-31, |a2| rows 32-63; flags
     [2, B]: neg1, neg2) with k === (-1)^neg1*a1 + lambda*(-1)^neg2*a2."""
+    from .pallas_field import auto_tb
+    if tb is None:
+        tb = auto_tb(k.shape[-1])
     return _glv_only_call(tb)(k)
 
 
-def ecdsa_prep_tpu(m, r, s, tb: int = 512):
+def ecdsa_prep_tpu(m, r, s, tb: int | None = None):
     """Fused ECDSA verify prep on [16, B] limb-major canonical inputs.
 
     Returns (digits [128, B] uint32, flags [2, B] uint32): digit rows
     0-31 = u1 low half, 32-63 = u1 high half, 64-95 = |a1|, 96-127 =
     |a2| (4-bit windows, MSB-first), where u2 = (-1)^neg1 * a1 +
     lambda * (-1)^neg2 * a2 (mod n); flags = (neg1, neg2)."""
+    from .pallas_field import auto_tb
+    if tb is None:
+        tb = auto_tb(m.shape[-1])
     return _ecdsa_prep_call(tb)(m, r, s)
