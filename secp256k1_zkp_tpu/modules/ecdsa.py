@@ -206,7 +206,7 @@ def _pad_to(v, mult, axis=-1):
     return jnp.pad(v, widths)
 
 
-def verify_tpu(msg32, sig64, pub: G.GE, tb: int = 512):
+def verify_tpu(msg32, sig64, pub: G.GE, tb: int | None = None):
     """Batched verify through the fused Pallas pipeline: one *prep*
     kernel (s^-1 Fermat chain, u1/u2, GLV lambda split, digit streams —
     pallas_scalar.ecdsa_prep_tpu) and one *ecmult* kernel (GLV Strauss
@@ -214,10 +214,13 @@ def verify_tpu(msg32, sig64, pub: G.GE, tb: int = 512):
     pallas_group.ecmult_glv_tpu).  No 256-bit multiply runs in the XLA
     glue.  Semantics identical to :func:`verify` (low-S enforced).
     Requires a 1-D batch; pads internally to a multiple of ``tb``."""
+    from ..ops import pallas_field as PF
     from ..ops import pallas_group as PG
     from ..ops import pallas_scalar as PS
 
     B = msg32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
     m, _ = S.from_bytes_be(msg32)
     r, s, sig_ok = sig_parse_compact(sig64)
     nonzero = ~S.is_zero(r) & ~S.is_zero(s)

@@ -154,7 +154,7 @@ def pedersen_commitment_serialize(c: G.GE):
 
 
 def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
-                        tb: int = 512):
+                        tb: int | None = None):
     """Batched commit = blind*G + value*H through the fused Pallas GLV
     ecmult + affine/quad-character kernels; returns (commit33, ok).
 
@@ -164,9 +164,11 @@ def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
     so the digit streams are pure bit-slicing."""
     from ..ops import pallas_field as PF
     from ..ops import pallas_group as PG
-    from ..modules.schnorrsig import _digits_rows_msb, _pad_to
+    from ..modules.schnorrsig import _digits_rows_w5, _pad_to
 
     B = blind32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
     b, b_ovf = S.from_bytes_be(blind32)
     v = pedersen_scalar_from_u32_pair(value_hi, value_lo)
 
@@ -174,8 +176,8 @@ def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
     v_t = _pad_to(jnp.transpose(v.v), tb)
     Bp = b_t.shape[-1]
     digs = jnp.concatenate(
-        [_digits_rows_msb(b_t, 0, 8), _digits_rows_msb(b_t, 8, 16),
-         _digits_rows_msb(v_t, 0, 8), jnp.zeros((32, Bp), jnp.uint32)],
+        [_digits_rows_w5(b_t, 0, 8), _digits_rows_w5(b_t, 8, 16),
+         _digits_rows_w5(v_t, 0, 8), jnp.zeros((26, Bp), jnp.uint32)],
         axis=0)
     flags = jnp.zeros((2, Bp), jnp.uint32)
     gx = _pad_to(jnp.transpose(F.normalize(gen.x).v), tb)

@@ -121,18 +121,15 @@ def _pad_to(v, mult, axis=-1):
     return jnp.pad(v, widths)
 
 
-def _digits_rows_msb(t, lo, hi):
-    """[16, B] limb-major -> [32, B] MSB-first 4-bit digits of limbs
-    [lo, hi) (hi-lo == 8, i.e. one 128-bit half)."""
-    parts = []
-    for i in range(hi - 1, lo - 1, -1):
-        limb = t[i]
-        for j in (3, 2, 1, 0):
-            parts.append((limb >> (4 * j)) & 0xF)
-    return jnp.stack(parts, axis=0)
+def _digits_rows_w5(t, lo, hi):
+    """[16, B] limb-major -> [26, B] MSB-first signed-w5 digits of limbs
+    [lo, hi) (one 128-bit half); same encoding as the kernels
+    (pallas_scalar.recode_w5: mag | sign<<8)."""
+    from ..ops.pallas_scalar import recode_w5
+    return jnp.stack(recode_w5([t[i] for i in range(lo, hi)]), axis=0)
 
 
-def verify_tpu(msg32, sig64, px32, tb: int = 512):
+def verify_tpu(msg32, sig64, px32, tb: int | None = None):
     """BIP-340 verify through the fused Pallas pipeline: lift_x kernel,
     GLV-split kernel on the challenge (signs flipped for -e), the GLV
     Strauss ecmult kernel, and the R-acceptance kernel (x(R)==r, even
@@ -142,6 +139,8 @@ def verify_tpu(msg32, sig64, px32, tb: int = 512):
     from ..ops import pallas_scalar as PS
 
     B = msg32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
     rx, rx_ovf = F.from_bytes_be(sig64[..., :32])
     s, s_ovf = S.from_bytes_be(sig64[..., 32:])
     pkx, pkx_ovf = F.from_bytes_be(px32)
@@ -160,7 +159,7 @@ def verify_tpu(msg32, sig64, px32, tb: int = 512):
 
     s_t = _pad_to(jnp.transpose(s.v), tb)
     digs = jnp.concatenate(
-        [_digits_rows_msb(s_t, 0, 8), _digits_rows_msb(s_t, 8, 16),
+        [_digits_rows_w5(s_t, 0, 8), _digits_rows_w5(s_t, 8, 16),
          edigs], axis=0)
 
     Bp = pkx_t.shape[-1]

@@ -29,15 +29,16 @@ MASK16 = 0xFFFF  # python ints weak-type into uint32 ops without capture
 
 
 def auto_tb(B: int, cap: int = 2048) -> int:
-    """Largest power-of-two block <= cap dividing B (>= 256).
+    """Block width for a batch of B lanes (callers pad B up to a
+    multiple of the result).
 
     Wide blocks matter: each elementwise op then spans several vregs,
     giving the VPU independent instructions to hide op latency (a lone
     [512] stream leaves it ~3x idle — measured on the mulmod chain)."""
     tb = 256
-    while tb * 2 <= cap and B % (tb * 2) == 0:
+    while tb < cap and tb < B:
         tb *= 2
-    return tb
+    return min(tb, cap)
 
 # p = 2^256 - 2^32 - 977; 2^256 === red (mod p), red = 2^32 + 977
 _RED_LO = 977

@@ -444,10 +444,10 @@ def _fe_const(template, c_limbs) -> FE:
 
 @lru_cache(maxsize=1)
 def _g_tables_int():
-    """(d*G, d*2^128*G) for d in 1..15 as limb-int tuples."""
+    """(d*G, d*2^128*G) for d in 1..16 as limb-int tuples."""
     from ..utils import hostcurve
     g, g128 = [], []
-    for d in range(1, 16):
+    for d in range(1, 17):
         x, y = hostcurve.mul(d)
         g.append((_cl(x), _cl(y)))
         x, y = hostcurve.mul((d << 128) % hostcurve.N)
@@ -482,10 +482,10 @@ def _add_aff_ratio(ax: FE, ay: FE, az: FE, bx: FE, by: FE):
     return X3, Y3, Z3, m_
 
 
-def _gather15(xs, ys, d):
-    """Select table entry d (1..15); d==0 is masked by the caller."""
+def _gather16(xs, ys, d):
+    """Select table entry d (1..16); d==0 is masked by the caller."""
     gx, gy = xs[1], ys[1]
-    for e in range(2, 16):
+    for e in range(2, 17):
         m = d == e
         gx = fe_select(m, xs[e], gx)
         gy = fe_select(m, ys[e], gy)
@@ -513,27 +513,28 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
     pyc = fe_weak(fe_select(_b(neg1), fe_neg(fe_weak(py)), fe_weak(py)))
     flip = _b(neg1 ^ neg2)
 
-    # --- P table 1..15, jacobian build with z-ratio tracking ------------
+    # --- P table 1..16, jacobian build with z-ratio tracking ------------
     one = fe_one(tb)
-    X = [None] * 16
-    Y = [None] * 16
-    R = [None] * 16                         # z-ratios: z_d = z_{d-1}*r_d
+    NT = 17
+    X = [None] * NT
+    Y = [None] * NT
+    R = [None] * NT                         # z-ratios: z_d = z_{d-1}*r_d
     X[1], Y[1] = fe_weak(px), pyc
     d2 = jp_double(JP(px, pyc, one, jnp.zeros_like(tb)))
     X[2], Y[2], Z2 = d2.x, d2.y, d2.z
     R[2] = Z2
     pz = Z2
-    for d in range(3, 16):
+    for d in range(3, NT):
         X[d], Y[d], pz, R[d] = _add_aff_ratio(X[d - 1], Y[d - 1], pz,
                                               px, pyc)
-    Zg = pz                                 # global Z = z_15
+    Zg = pz                                 # global Z = z_16
 
     # --- bring table to global Z (ge_table_set_globalz shape) -----------
-    axs = [None] * 16
-    ays = [None] * 16
-    axs[15], ays[15] = fe_weak(X[15]), fe_weak(Y[15])
+    axs = [None] * NT
+    ays = [None] * NT
+    axs[NT - 1], ays[NT - 1] = fe_weak(X[NT - 1]), fe_weak(Y[NT - 1])
     acc = None
-    for d in range(14, 0, -1):
+    for d in range(NT - 2, 0, -1):
         acc = R[d + 1] if acc is None else fe_mul(acc, R[d + 1])
         a2c = fe_sqr(acc)
         axs[d] = fe_mul(X[d], a2c)
@@ -550,11 +551,11 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
     gtab, g128tab = _g_tables_int()
 
     def gather_const(tab, d):
-        """Select-of-immediates over a 15-entry (x,y) int-limb table."""
+        """Select-of-immediates over a 16-entry (x,y) int-limb table."""
         x0, y0 = tab[0]
         gx = FE([jnp.zeros_like(d) + int(c) for c in x0], MASK16)
         gy = FE([jnp.zeros_like(d) + int(c) for c in y0], MASK16)
-        for e in range(2, 16):
+        for e in range(2, 17):
             m = d == e
             ex, ey = tab[e - 1]
             gx = FE([jnp.where(m, jnp.uint32(c), v)
@@ -563,34 +564,45 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
                      for c, v in zip(ey, gy.l)], MASK16)
         return gx, gy
 
+    NW = 26  # signed 5-bit windows (pallas_scalar.recode_w5)
+
     def window(w, carry):
         acc = _jp_unflat(carry)
-        for _ in range(4):
+        for _ in range(5):
             acc = jp_double(acc)
-        dglo = d_ref[w, :]
-        dghi = d_ref[32 + w, :]
-        da1 = d_ref[64 + w, :]
-        da2 = d_ref[96 + w, :]
-        # a1 * P'
-        gx, gy = _gather15(axs, ays, da1)
-        acc = jp_add_aff(acc, gx, gy, ((da1 == 0) | pinf_b).astype(jnp.uint32))
+        eglo = d_ref[w, :]
+        eghi = d_ref[NW + w, :]
+        ea1 = d_ref[2 * NW + w, :]
+        ea2 = d_ref[3 * NW + w, :]
+        # a1 * P'  (signed digit: negate gathered y on the sign bit)
+        mag, sgn = ea1 & 0xFF, ea1 >> 8
+        gx, gy = _gather16(axs, ays, mag)
+        gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+        acc = jp_add_aff(acc, gx, gy, ((mag == 0) | pinf_b).astype(jnp.uint32))
         # a2 * lambda*P': x *= beta on the gathered entry
-        # (ge_mul_lambda, src/group_impl.h:925); sign re-flip when
-        # neg2 != neg1
-        gx, gy = _gather15(axs, ays, da2)
+        # (ge_mul_lambda, src/group_impl.h:925); sign xor the
+        # neg2 != neg1 re-flip
+        mag, sgn = ea2 & 0xFF, ea2 >> 8
+        gx, gy = _gather16(axs, ays, mag)
         gx = fe_mul_const(gx, beta)
-        gy = fe_select(flip, fe_weak(fe_neg(gy)), gy)
-        acc = jp_add_aff(acc, gx, gy, ((da2 == 0) | pinf_b).astype(jnp.uint32))
+        gy = fe_select(flip ^ (sgn != 0), fe_weak(fe_neg(gy)), gy)
+        acc = jp_add_aff(acc, gx, gy, ((mag == 0) | pinf_b).astype(jnp.uint32))
         # u1_hi * 2^128*G  +  u1_lo * G  (immediates -> frame scale)
-        gx, gy = gather_const(g128tab, dghi)
-        acc = jp_add_aff(acc, fe_mul(gx, ZZ), fe_mul(gy, ZZZ),
-                         (dghi == 0).astype(jnp.uint32))
-        gx, gy = gather_const(gtab, dglo)
-        acc = jp_add_aff(acc, fe_mul(gx, ZZ), fe_mul(gy, ZZZ),
-                         (dglo == 0).astype(jnp.uint32))
+        mag, sgn = eghi & 0xFF, eghi >> 8
+        gx, gy = gather_const(g128tab, mag)
+        gyf = fe_mul(gy, ZZZ)
+        gyf = fe_select(sgn != 0, fe_weak(fe_neg(gyf)), gyf)
+        acc = jp_add_aff(acc, fe_mul(gx, ZZ), gyf,
+                         (mag == 0).astype(jnp.uint32))
+        mag, sgn = eglo & 0xFF, eglo >> 8
+        gx, gy = gather_const(gtab, mag)
+        gyf = fe_mul(gy, ZZZ)
+        gyf = fe_select(sgn != 0, fe_weak(fe_neg(gyf)), gyf)
+        acc = jp_add_aff(acc, fe_mul(gx, ZZ), gyf,
+                         (mag == 0).astype(jnp.uint32))
         return _jp_flat(acc)
 
-    out = jax.lax.fori_loop(0, 32, window, _jp_flat(jp_inf(tb)))
+    out = jax.lax.fori_loop(0, NW, window, _jp_flat(jp_inf(tb)))
     accp = _jp_unflat(out)
     # leave the frame: real jacobian z = z_frame * Zg
     oz = fe_mul(accp.z, Zg)
@@ -635,7 +647,7 @@ def _ecmult_glv_call(tb: int, check: bool):
         B = px.shape[-1]
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
-        spec128 = pl.BlockSpec((128, tb), lambda i: (0, i),
+        spec128 = pl.BlockSpec((104, tb), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
         spec4 = pl.BlockSpec((4, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
@@ -661,7 +673,8 @@ def _ecmult_glv_call(tb: int, check: bool):
 def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
     """GLV double-scalar mult from prep-kernel digit streams.
 
-    digs: [128, B] digits (see pallas_scalar.ecdsa_prep_tpu); flags:
+    digs: [104, B] signed-w5 digits (pallas_scalar.ecdsa_prep_tpu);
+    flags:
     [2, B] (neg1, neg2); px/py: [16, B]; pinf: [B] bool; rx: [16, B]
     canonical r limbs to enable the fused ECDSA x(R)===r check.
 

@@ -33,37 +33,6 @@ _RED_LIMBS = tuple((_RED >> (16 * i)) & 0xFFFF for i in range(9))
 _N_LIMBS = tuple((N_ORDER >> (16 * i)) & 0xFFFF for i in range(16))
 
 
-def _fold_once(cols, ncols_in):
-    """Fold columns >= 16 of ``cols`` (list of ncols_in [TB] u32, each
-    <= 2^22) through red; returns 24-or-16 columns, <= 2^23."""
-    z = jnp.zeros_like(cols[0])
-    n_hi = ncols_in - 16
-    acc_lo = [z] * (n_hi + 9)
-    acc_hi = [z] * (n_hi + 9)
-    for k in range(n_hi):
-        c = cols[16 + k]
-        c_lo = c & MASK16
-        c_hi = c >> 16                      # <= 2^7
-        for j, r in enumerate(_RED_LIMBS):
-            if r == 0:
-                continue
-            p = c_lo * r                    # exact (< 2^32)
-            acc_lo[k + j] = acc_lo[k + j] + (p & MASK16)
-            acc_hi[k + j] = acc_hi[k + j] + (p >> 16)
-            # c_hi * r <= 2^23, at one limb up
-            acc_hi[k + j] = acc_hi[k + j] + c_hi * r
-    out_n = max(16, n_hi + 9 + 1)
-    out = []
-    for i in range(out_n):
-        v = cols[i] if i < 16 else z
-        if i < len(acc_lo):
-            v = v + acc_lo[i]
-        if 0 < i and (i - 1) < len(acc_hi):
-            v = v + acc_hi[i - 1]
-        out.append(v)
-    return out
-
-
 def _carry_pass(cols):
     """Sequential ripple over all columns; returns 16-bit columns plus
     the final carry appended as one extra column."""
@@ -77,41 +46,65 @@ def _carry_pass(cols):
     return out
 
 
-def _reduce_cols_n(cols):
-    """32 columns (<= 2^22) -> 16 weak limbs mod n.
+def _fold_red(h):
+    """h (<=0xFFFF limbs) * red -> carry-save columns (len(h)+9, each
+    <= 9*2*0xFFFF < 2^21).  Operand-scan with lo/hi split, exactly the
+    mod-p _mul_limbs shape; red's top limb is 1 (bit 128) so that row
+    is a plain add."""
+    z = jnp.zeros_like(h[0])
+    nh = len(h)
+    lo = [z] * (nh + 8)
+    hi = [z] * (nh + 8)
+    for i in range(nh):
+        hv = h[i]
+        for j in range(8):
+            r = _RED_LIMBS[j]
+            if r == 0:
+                continue
+            p = hv * r
+            lo[i + j] = lo[i + j] + (p & MASK16)
+            hi[i + j] = hi[i + j] + (p >> 16)
+        lo[i + 8] = lo[i + 8] + hv          # r8 == 1 (the 2^128 term)
+    cols = [lo[0]] + [lo[k] + hi[k - 1] for k in range(1, nh + 8)]
+    cols.append(hi[nh + 7])
+    return cols
 
-    red is 129 bits (9 limbs), so each fold shrinks the high part by
-    only 7 limbs: three rounds (16 -> 9+1 -> ~4 -> 0 high limbs), with a
-    carry pass in between to keep every product exact in uint32."""
-    cols = _fold_once(cols, 32)             # -> 26 cols, <= ~2^27
-    cols = _carry_pass(cols)                # -> 27 cols, <= 0xFFFF
-    cols = _fold_once(cols, len(cols))      # high 11 -> positions <= 19
-    cols = _fold_once(cols, len(cols))      # high <=5 -> all below 16
-    # all weight now in cols[0..15]; ripple
-    out = []
-    carry = None
+
+def _reduce_cols_n(cols):
+    """Carry-save columns (<= 32, each <= 2^22) -> 16 weak limbs mod n.
+
+    X = X_lo + 2^256*X_hi === X_lo + X_hi*red with red = 2^256 - n
+    (129 bits), applied three times: 512 -> 385 -> 258 -> 257 bits —
+    the same shrink schedule the reference's 4x64 reduce uses
+    (src/scalar_4x64_impl.h), as pure operand-scan folds."""
+    x = _carry_pass(cols)                   # exact limbs; value < 2^512
+    h = x[16:32] if len(x) >= 32 else x[16:]
+    c1 = _fold_red(h)                       # 25 cols <= 2^21
     for i in range(LIMBS):
-        t = cols[i] if carry is None else cols[i] + carry
-        out.append(t & MASK16)
-        carry = t >> 16
-    # carry <= 2^16: fold carry*red (exact u32 products)
-    for j, r in enumerate(_RED_LIMBS):
-        if r:
-            out[j] = out[j] + carry * r
-    carry = None
+        c1[i] = c1[i] + x[i]
+    y = _carry_pass(c1)                     # value < 2^385 + 2^256
+    c2 = _fold_red(y[16:25])
     for i in range(LIMBS):
+        c2[i] = c2[i] + y[i]
+    z2 = _carry_pass(c2)                    # value < 2^258 + 2^256
+    c3 = _fold_red([z2[16], z2[17]])        # 11 cols
+    while len(c3) < LIMBS:
+        c3.append(jnp.zeros_like(c3[0]))
+    for i in range(LIMBS):
+        c3[i] = c3[i] + z2[i]
+    w = _carry_pass(c3)                     # value < 2^256 + 2^146
+    out = w[:LIMBS]
+    c = w[LIMBS]                            # 0/1
+    # if w >= 2^256 the remainder is < 2^146, so one fold + a 12-limb
+    # ripple is exact (post-fold value < 2^147).
+    for j in range(8):
+        out[j] = out[j] + c * _RED_LIMBS[j]
+    out[8] = out[8] + c
+    carry = None
+    for i in range(12):
         t = out[i] if carry is None else out[i] + carry
         out[i] = t & MASK16
         carry = t >> 16
-    # final carry is 0/1; one more tiny fold + short ripple
-    for j, r in enumerate(_RED_LIMBS):
-        if r:
-            out[j] = out[j] + carry * r
-    c = None
-    for i in range(12):
-        t = out[i] if c is None else out[i] + c
-        out[i] = t & MASK16
-        c = t >> 16
     return out
 
 
@@ -131,7 +124,21 @@ def _mul_limbs_n(a, b):
 
 
 def _sqr_limbs_n(a):
-    return _mul_limbs_n(a, a)
+    """Squaring mod n: symmetric products doubled (~half the multiplies,
+    cf. the mod-p _sqr_limbs)."""
+    z = jnp.zeros_like(a[0])
+    lo = [z] * 31
+    hi = [z] * 31
+    for i in range(LIMBS):
+        p = a[i] * a[i]
+        lo[2 * i] = lo[2 * i] + (p & MASK16)
+        hi[2 * i] = hi[2 * i] + (p >> 16)
+        for j in range(i + 1, LIMBS):
+            p = a[i] * a[j]
+            lo[i + j] = lo[i + j] + ((p & MASK16) << 1)
+            hi[i + j] = hi[i + j] + ((p >> 16) << 1)
+    cols = [lo[0]] + [lo[k] + hi[k - 1] for k in range(1, 31)] + [hi[30]]
+    return _reduce_cols_n(cols)
 
 
 # n - 2, 4-bit digits LSB-first (static python)
@@ -369,11 +376,46 @@ def _digits128_msb(l8):
     return out
 
 
+NW5 = 26  # signed 5-bit windows covering a < 2^128 magnitude
+
+
+def recode_w5(l8):
+    """8x16-bit limbs (value < 2^128) -> 26 MSB-first signed 5-bit
+    digits encoded as mag | sign<<8, digits in [-16, 16].
+
+    Signed fixed windows halve the table reach per entry: 26 windows
+    of (5 doublings + adds) replace 32 of (4 doublings + adds) — the
+    vector analog of the reference's signed-digit multi-comb / wNAF
+    recodings (src/ecmult_gen_impl.h:200, src/ecmult_impl.h:162)."""
+    raw = []
+    for i in range(NW5):
+        bit = 5 * i
+        idx, off = bit // 16, bit % 16
+        if idx >= 8:
+            raw.append(jnp.zeros_like(l8[0]))
+            continue
+        v = l8[idx] >> off
+        if off + 5 > 16 and idx + 1 < 8:
+            v = v | (l8[idx + 1] << (16 - off))
+        raw.append(v & 31)
+    out = []
+    carry = None
+    for i in range(NW5):
+        d = raw[i] if carry is None else raw[i] + carry
+        neg = d > 16
+        carry = neg.astype(jnp.uint32)
+        mag = jnp.where(neg, jnp.uint32(32) - d, d)
+        out.append(mag | (carry << 8))
+    # top digit: bits 125-127 (<=7) + carry <= 8 < 16, so never negative
+    # and the final carry is provably zero.
+    return out[::-1]
+
+
 def _ecdsa_prep_kernel(dig_ref, m_ref, r_ref, s_ref, d_ref, f_ref):
     """m, r, s (canonical [16, TB]) -> digit streams + GLV sign flags.
 
-    d_ref rows: 0-31 u1_lo digits, 32-63 u1_hi, 64-95 a1, 96-127 a2
-    (all MSB-first 4-bit); f_ref rows: neg1, neg2 (uint32 0/1)."""
+    d_ref rows (MSB-first signed 5-bit, mag | sign<<8): 0-25 u1_lo,
+    26-51 u1_hi, 52-77 a1, 78-103 a2; f_ref rows: neg1, neg2."""
     m = [m_ref[i, :] for i in range(LIMBS)]
     r = [r_ref[i, :] for i in range(LIMBS)]
     s = [s_ref[i, :] for i in range(LIMBS)]
@@ -400,9 +442,9 @@ def _ecdsa_prep_kernel(dig_ref, m_ref, r_ref, s_ref, d_ref, f_ref):
     u2 = _canon_n(_mul_limbs_n(r, sinv))
     a1, neg1, a2, neg2 = _glv_split(u2)
 
-    digs = (_digits128_msb(u1[:8]) + _digits128_msb(u1[8:])
-            + _digits128_msb(a1) + _digits128_msb(a2))
-    for i in range(128):
+    digs = (recode_w5(u1[:8]) + recode_w5(u1[8:])
+            + recode_w5(a1) + recode_w5(a2))
+    for i in range(4 * NW5):
         d_ref[i, :] = digs[i]
     f_ref[0, :] = neg1
     f_ref[1, :] = neg2
@@ -424,7 +466,7 @@ def _ecdsa_prep_call(tb: int):
         return pl.pallas_call(
             _ecdsa_prep_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((128, B), jnp.uint32),
+                jax.ShapeDtypeStruct((4 * NW5, B), jnp.uint32),
                 jax.ShapeDtypeStruct((2, B), jnp.uint32),
             ),
             grid=(B // tb,),
@@ -434,7 +476,7 @@ def _ecdsa_prep_call(tb: int):
                 spec16, spec16, spec16,
             ],
             out_specs=(
-                pl.BlockSpec((128, tb), lambda i: (0, i),
+                pl.BlockSpec((4 * NW5, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -445,12 +487,12 @@ def _ecdsa_prep_call(tb: int):
 
 
 def _glv_only_kernel(k_ref, d_ref, f_ref):
-    """Canonical scalar [16, TB] -> GLV digit streams [64, TB] (rows
-    0-31 |a1|, 32-63 |a2|, MSB-first) + sign flags [2, TB]."""
+    """Canonical scalar [16, TB] -> GLV digit streams [52, TB] (rows
+    0-25 a1, 26-51 a2, MSB-first signed-w5) + sign flags [2, TB]."""
     k = [k_ref[i, :] for i in range(LIMBS)]
     a1, neg1, a2, neg2 = _glv_split(k)
-    digs = _digits128_msb(a1) + _digits128_msb(a2)
-    for i in range(64):
+    digs = recode_w5(a1) + recode_w5(a2)
+    for i in range(2 * NW5):
         d_ref[i, :] = digs[i]
     f_ref[0, :] = neg1
     f_ref[1, :] = neg2
@@ -467,14 +509,14 @@ def _glv_only_call(tb: int):
         return pl.pallas_call(
             _glv_only_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((64, B), jnp.uint32),
+                jax.ShapeDtypeStruct((2 * NW5, B), jnp.uint32),
                 jax.ShapeDtypeStruct((2, B), jnp.uint32),
             ),
             grid=(B // tb,),
             in_specs=[pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)],
             out_specs=(
-                pl.BlockSpec((64, tb), lambda i: (0, i),
+                pl.BlockSpec((2 * NW5, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -487,8 +529,9 @@ def _glv_only_call(tb: int):
 def glv_split_tpu(k, tb: int | None = None):
     """GLV lambda split of a canonical [16, B] scalar.
 
-    Returns (digits [64, B]: |a1| rows 0-31, |a2| rows 32-63; flags
-    [2, B]: neg1, neg2) with k === (-1)^neg1*a1 + lambda*(-1)^neg2*a2."""
+    Returns (digits [52, B]: a1 rows 0-25, a2 rows 26-51, signed-w5
+    encoded; flags [2, B]: neg1, neg2) with k === (-1)^neg1*a1 +
+    lambda*(-1)^neg2*a2."""
     from .pallas_field import auto_tb
     if tb is None:
         tb = auto_tb(k.shape[-1])
@@ -498,10 +541,11 @@ def glv_split_tpu(k, tb: int | None = None):
 def ecdsa_prep_tpu(m, r, s, tb: int | None = None):
     """Fused ECDSA verify prep on [16, B] limb-major canonical inputs.
 
-    Returns (digits [128, B] uint32, flags [2, B] uint32): digit rows
-    0-31 = u1 low half, 32-63 = u1 high half, 64-95 = |a1|, 96-127 =
-    |a2| (4-bit windows, MSB-first), where u2 = (-1)^neg1 * a1 +
-    lambda * (-1)^neg2 * a2 (mod n); flags = (neg1, neg2)."""
+    Returns (digits [104, B] uint32, flags [2, B] uint32): digit rows
+    0-25 = u1 low half, 26-51 = u1 high half, 52-77 = a1, 78-103 = a2
+    (signed 5-bit windows, MSB-first, mag | sign<<8), where u2 =
+    (-1)^neg1 * a1 + lambda * (-1)^neg2 * a2 (mod n); flags =
+    (neg1, neg2)."""
     from .pallas_field import auto_tb
     if tb is None:
         tb = auto_tb(m.shape[-1])

@@ -73,6 +73,26 @@ def test_digits128_msb(rng):
     assert (v == _to_int(a1)).all()
 
 
+def test_recode_w5(rng):
+    from secp256k1_zkp_tpu.ops.pallas_scalar import recode_w5, NW5
+    vals = [int.from_bytes(rng.bytes(16), "big") for _ in range(48)]
+    vals += [0, 1, 2 ** 128 - 1, 16, 17, 31, 32, 33 * 32 ** 10]
+    B = len(vals)
+    l8 = [jnp.asarray(np.array([(v >> (16 * i)) & 0xFFFF for v in vals],
+                               np.uint32)) for i in range(8)]
+    digs = recode_w5(l8)
+    assert len(digs) == NW5
+    acc = np.zeros(B, object)
+    for d in digs:                        # MSB-first
+        d = np.asarray(d)
+        mag = (d & 0xFF).astype(object)
+        sgn = (d >> 8).astype(object)
+        assert (d & 0xFF).max() <= 16
+        acc = acc * 32 + np.where(sgn == 1, -mag, mag)
+    for j, v in enumerate(vals):
+        assert int(acc[j]) == v
+
+
 def test_glv_constants():
     # lambda and beta are the primitive cube roots tied by the lattice:
     # a1 + b1*lambda === 0 (mod n) for the reduced basis row.
