@@ -128,14 +128,74 @@ def main():
     }))
 
     if os.environ.get("SECP_TPU_BENCH_ALL"):
+        from secp256k1_zkp_tpu.modules import schnorrsig, generator
+        from secp256k1_zkp_tpu.ops import scalar as SS
+
+        def stream_rate(fn, ins, name, unit):
+            @jax.jit
+            def run(*stacked):
+                def body(c, inp):
+                    return c, fn(*inp)
+                _, o = jax.lax.scan(body, 0, stacked)
+                return o
+            out = np.asarray(run(*ins))
+            t0 = time.perf_counter()
+            out = np.asarray(run(*ins))
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": name,
+                "value": round(BATCH * ITERS / dt, 1),
+                "unit": unit}), file=sys.stderr)
+            return out
+
+        # Schnorr verify stream
+        sch_m, sch_s, sch_p = [], [], []
+        for i in range(ITERS):
+            mm = jnp.asarray(msgs_all[i])
+            d, _ = S.from_bytes_be(secs)
+            sg, ok_s = jax.jit(schnorrsig.sign)(mm, secs)
+            _, px32, _, _, _ = schnorrsig.keypair_xonly(secs)
+            sch_m.append(np.asarray(mm))
+            sch_s.append(np.asarray(sg))
+            sch_p.append(np.asarray(px32))
+        oks = stream_rate(
+            (schnorrsig.verify_tpu if use_pallas else schnorrsig.verify),
+            (jax.device_put(jnp.asarray(np.stack(sch_m))),
+             jax.device_put(jnp.asarray(np.stack(sch_s))),
+             jax.device_put(jnp.asarray(np.stack(sch_p)))),
+            "schnorr_verify_throughput_per_chip", "verifies/s")
+        assert oks.all(), "schnorr bench stream failed"
+
+        # Pedersen commit stream (default generator per lane)
+        if use_pallas:
+            key = np.tile(np.arange(32, dtype=np.uint8), (BATCH, 1))
+            Hgen, okg = generator.generator_generate(jnp.asarray(key))
+            blinds = rng.integers(0, 256, (ITERS, BATCH, 32), dtype=np.uint8)
+            blinds[..., 0] &= 0x7F
+            vhi = rng.integers(0, 2 ** 31, (ITERS, BATCH), dtype=np.int64
+                               ).astype(np.uint32)
+            vlo = rng.integers(0, 2 ** 31, (ITERS, BATCH), dtype=np.int64
+                               ).astype(np.uint32)
+
+            def commit_fn(b32, hi, lo):
+                c33, okc = generator.pedersen_commit_tpu(b32, hi, lo, Hgen)
+                return c33[..., 0]
+
+            stream_rate(commit_fn,
+                        (jax.device_put(jnp.asarray(blinds)),
+                         jax.device_put(jnp.asarray(vhi)),
+                         jax.device_put(jnp.asarray(vlo))),
+                        "pedersen_commit_throughput_per_chip", "commits/s")
+
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        s2 = None
+        for _ in range(2):
             s2 = make_batch(msgs, secs)
-        jax.block_until_ready(s2)
+        np.asarray(s2[0])
         dts = time.perf_counter() - t0
         print(json.dumps({
             "metric": "ecdsa_sign+keygen_throughput_per_chip",
-            "value": round(BATCH * ITERS / dts, 1),
+            "value": round(BATCH * 2 / dts, 1),
             "unit": "signs/s"}), file=sys.stderr)
 
 

@@ -35,7 +35,9 @@ _N_LIMBS = tuple((N_ORDER >> (16 * i)) & 0xFFFF for i in range(16))
 
 def _carry_pass(cols):
     """Sequential ripple over all columns; returns 16-bit columns plus
-    the final carry appended as one extra column."""
+    the final carry appended as one extra column.  (A Kogge-Stone
+    variant measured slower end-to-end; see _reduce_cols in
+    pallas_field.py.)"""
     out = []
     carry = None
     for c in cols:

@@ -134,3 +134,29 @@ def test_bip340_verify_vectors():
     ok = np.asarray(jax.jit(schnorrsig.verify)(msgs, sigs, pxs))
     for i, v in enumerate(BIP340_VERIFY_VECTORS):
         assert bool(ok[i]) == v[3], f"verify vector {i}"
+
+
+def test_batch_verify(rng):
+    import oracle
+    from secp256k1_zkp_tpu.utils import hostcurve
+    n = 8
+    msgs = np.zeros((n, 32), np.uint8)
+    sigs = np.zeros((n, 64), np.uint8)
+    pxs = np.zeros((n, 32), np.uint8)
+    for i in range(n):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        sig = oracle.schnorr_sign(msg, d)
+        P = hostcurve.mul(d)
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        sigs[i] = np.frombuffer(sig, np.uint8)
+        pxs[i] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+    ok = jax.jit(schnorrsig.batch_verify)(
+        jnp.asarray(msgs), jnp.asarray(sigs), jnp.asarray(pxs))
+    assert bool(np.asarray(ok))
+    # one corrupted signature must fail the whole batch
+    sigs2 = np.array(sigs)
+    sigs2[3, 40] ^= 1
+    ok = jax.jit(schnorrsig.batch_verify)(
+        jnp.asarray(msgs), jnp.asarray(sigs2), jnp.asarray(pxs))
+    assert not bool(np.asarray(ok))
