@@ -159,9 +159,12 @@ def test_sign_vectors(vec):
         got = bytes(np.asarray(S.to_bytes_be(psig))[0])
         assert got == case["expected"], case
 
-        # and partial verification succeeds
-        pn, _ = jax.jit(musig.pubnonce_parse)(
-            b2a([sv["pubnonces"][case["signer_index"]]]))
+        # and partial verification succeeds.  The signer is always
+        # participant 0's key/nonce (reordered via key_indices), so the
+        # signer's own pubnonce is pubnonces[0] — matching the
+        # reference harness (tests_impl.h:1064-1065), NOT
+        # pubnonces[signer_index].
+        pn, _ = jax.jit(musig.pubnonce_parse)(b2a([sv["pubnonces"][0]]))
         vok = jax.jit(musig.partial_sig_verify)(
             psig, pn, signer_pk, cache, session)
         assert np.asarray(vok).all(), case
@@ -207,8 +210,10 @@ def test_tweak_vectors(vec):
         assert np.asarray(ok).all()
         assert bytes(np.asarray(S.to_bytes_be(psig))[0]) == \
             case["expected"], case
+        # signer's pubnonce = pubnonces[nonce_indices[signer_index]]
+        # (tests_impl.h:1189)
         pn, _ = jax.jit(musig.pubnonce_parse)(
-            b2a([pubnonces[case["signer_index"]]]))
+            b2a([pubnonces[case["nonce_indices"][case["signer_index"]]]]))
         vok = jax.jit(musig.partial_sig_verify)(
             psig, pn, signer_pk, cache, session)
         assert np.asarray(vok).all(), case
