@@ -218,7 +218,7 @@ def commit(gens: G.GE, n_vec: LB, l_vec: LB, c_vec: LB, mu: LB,
     g_len = n_vec.v.shape[0]
     v = S.add(_weighted_inner(n_vec, n_vec, mu), _inner(l_vec, c_vec))
     sc = _lb_concat(S.FN.norm_if_needed(n_vec), S.FN.norm_if_needed(l_vec))
-    acc = msm.msm_windowed(sc, gens)
+    acc = msm.ecmult_multi(sc, gens)
     acc = G.gej_add(acc, ecmult.ecmult_gen(S.normalize(v), table))
     return G.ge_from_gej(acc)
 
@@ -230,7 +230,7 @@ def _msm_with_g(sc: LB, pts: G.GE, q: LB, table=None) -> G.GEJ:
     """sum sc_i * pts_i + q*G (the ecmult_multi shape used per round)."""
     acc = ecmult.ecmult_gen(S.normalize(q), table)
     if sc.v.shape[0]:
-        acc = G.gej_add(acc, msm.msm_windowed(S.FN.norm_if_needed(sc), pts))
+        acc = G.gej_add(acc, msm.ecmult_multi(S.FN.norm_if_needed(sc), pts))
     return acc
 
 

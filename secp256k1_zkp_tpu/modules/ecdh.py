@@ -37,10 +37,11 @@ def ecdh(pub: G.GE, sec32):
 
 def ecdh_xonly(pub: G.GE, sec32):
     """x-only variant (no hash): returns the x coordinate bytes of d*Q —
-    the building block ellswift_xdh uses (main_impl.h:560)."""
+    the building block ellswift_xdh uses (main_impl.h:560).  Routed
+    through the sqrt-free x-only ladder (ecmult_const_xonly,
+    src/ecmult_const_impl.h:268): pub.y never enters the dataflow."""
     d, d_ovf = S.from_bytes_be(sec32)
     d_ok = ~d_ovf & ~S.is_zero(d)
-    rj = ecmult.ecmult_const(d, pub)
-    r = G.ge_from_gej(rj)
-    ok = d_ok & ~rj.inf & ~pub.inf
-    return F.to_bytes_be(r.x), ok
+    x_out, x_ok = ecmult.ecmult_const_xonly(d, pub.x, known_on_curve=True)
+    ok = d_ok & x_ok & ~pub.inf
+    return F.to_bytes_be(x_out), ok

@@ -57,6 +57,34 @@ def _pick_nonce(nonces_words):
     return chosen, chosen_ok
 
 
+def sign_scalars(m: LB, d: LB, k: LB, table=None, sc=S):
+    """Sign core on parsed scalars (ecdsa_sig_sign, src/ecdsa_impl.h:274):
+    R = k*G, r = x(R) mod n (+overflow flag), s = k^-1 (m + r d), low-S
+    normalization, recovery id.  ``sc`` is the scalar engine — the real
+    GF(n) by default, a tiny-order SmallScalar under the exhaustive
+    harness (the analog of recompiling with scalar_low).
+
+    Returns (r LB, s LB, recid [...] int32, ok [...] bool)."""
+    rj = ecmult.ecmult_gen(k, table)
+    R = G.ge_from_gej(rj)
+    rx = F.normalize(R.x)
+    ry_odd = F.is_odd(R.y)
+
+    # r = R.x mod n; overflow flag = (R.x >= n)
+    r, r_ovf = sc.from_bytes_be(F.to_bytes_be(rx))
+
+    kinv = sc.inv(k)
+    s = sc.mul(kinv, sc.add(m, sc.mul(r, d)))
+    s = sc.normalize(s)
+
+    high = sc.is_high(s)
+    s = sc.select(high, sc.normalize(sc.neg(s)), s)
+    recid = (jnp.where(r_ovf, 2, 0) | ry_odd.astype(jnp.int32)) \
+        ^ high.astype(jnp.int32)
+    ok = ~sc.is_zero(r) & ~sc.is_zero(s)
+    return r, s, recid, ok
+
+
 def sign(msg32, sec32, table=None):
     """Deterministic ECDSA sign (cf. ecdsa_sig_sign, src/ecdsa_impl.h:274).
 
@@ -67,26 +95,10 @@ def sign(msg32, sec32, table=None):
     d_ok = ~d_ovf & ~S.is_zero(d)
 
     k, k_ok = _pick_nonce(rfc6979_nonce(msg32, sec32))
-
-    rj = ecmult.ecmult_gen(k, table)
-    R = G.ge_from_gej(rj)
-    rx = F.normalize(R.x)
-    ry_odd = F.is_odd(R.y)
-
-    # r = R.x mod n; overflow flag = (R.x >= n)
-    r, r_ovf = S.from_bytes_be(F.to_bytes_be(rx))
     m, _ = S.from_bytes_be(msg32)
 
-    kinv = S.inv(k)
-    s = S.mul(kinv, S.add(m, S.mul(r, d)))
-    s = S.normalize(s)
-
-    high = S.is_high(s)
-    s = S.select(high, S.normalize(S.neg(s)), s)
-    recid = (jnp.where(r_ovf, 2, 0) | ry_odd.astype(jnp.int32)) \
-        ^ high.astype(jnp.int32)
-
-    ok = d_ok & k_ok & ~S.is_zero(r) & ~S.is_zero(s)
+    r, s, recid, sig_ok = sign_scalars(m, d, k, table)
+    ok = d_ok & k_ok & sig_ok
     sig64 = jnp.concatenate([S.to_bytes_be(r), S.to_bytes_be(s)], axis=-1)
     sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
     return sig64, recid, ok
@@ -101,27 +113,40 @@ def sig_parse_compact(sig64):
 
 
 def verify_scalars(m: LB, r: LB, s: LB, pub: G.GE, table=None,
-                   enforce_low_s: bool = True):
+                   enforce_low_s: bool = True, sc=S):
     """Core verification on parsed scalars (cf. ecdsa_sig_verify,
-    src/ecdsa_impl.h:195-272).  Returns a bool lane mask."""
-    nonzero = ~S.is_zero(r) & ~S.is_zero(s)
-    sinv = S.inv(s)
-    u1 = S.mul(m, sinv)
-    u2 = S.mul(r, sinv)
+    src/ecdsa_impl.h:195-272).  Returns a bool lane mask.  ``sc`` is the
+    scalar engine; under a tiny-order engine the x(R) check switches to
+    the full affine-x-mod-order comparison, exactly as the reference's
+    EXHAUSTIVE_TEST_ORDER branch does (src/ecdsa_impl.h:218-229)."""
+    nonzero = ~sc.is_zero(r) & ~sc.is_zero(s)
+    sinv = sc.inv(s)
+    u1 = sc.mul(m, sinv)
+    u2 = sc.mul(r, sinv)
     pr = ecmult.ecmult(u1, u2, pub, table)
+
+    if sc.N.bit_length() <= 128:
+        # tiny-order mode: h in x = r + h*n spans many values; compare
+        # the affine x reduced mod the order instead.
+        pr_ge = G.ge_from_gej(pr)
+        computed_r, _ = sc.from_bytes_be(F.to_bytes_be(F.normalize(pr_ge.x)))
+        ok = nonzero & ~pr.inf & sc.eq(r, computed_r) & ~pub.inf
+        if enforce_low_s:
+            ok = ok & ~sc.is_high(s)
+        return ok
 
     # x(R) == r (mod n) without field inversion: check r and r+n as field
     # elements against X/Z^2 (src/ecdsa_impl.h:241-268).
-    r_bytes = S.to_bytes_be(r)
+    r_bytes = sc.to_bytes_be(r)
     xr, _ = F.from_bytes_be(r_bytes)
     match = G.gej_eq_x(pr, xr)
     # r + n representable iff r < p - n
-    lt = _scalar_lt(r, _P_MINUS_N)
-    xr2 = F.norm_weak(F.add(xr, F.fe(S.N)))
+    lt = _scalar_lt(r, F.P - sc.N)
+    xr2 = F.norm_weak(F.add(xr, F.fe(sc.N)))
     match2 = G.gej_eq_x(pr, xr2) & lt
     ok = nonzero & ~pr.inf & (match | match2) & ~pub.inf
     if enforce_low_s:
-        ok = ok & ~S.is_high(s)
+        ok = ok & ~sc.is_high(s)
     return ok
 
 
@@ -144,32 +169,41 @@ def verify(msg32, sig64, pub: G.GE, table=None):
     return verify_scalars(m, r, s, pub, table) & sig_ok
 
 
-def recover(msg32, sig64, recid, table=None):
-    """Recover pubkey from (sig, recid) (cf. ecdsa_sig_recover,
-    src/modules/recovery/main_impl.h:87-121). Returns (GE, ok)."""
-    r, s, sig_ok = sig_parse_compact(sig64)
-    m, _ = S.from_bytes_be(msg32)
-
+def recover_scalars(m: LB, r: LB, s: LB, recid, table=None, sc=S,
+                    b_coeff: int = F.B_COEFF):
+    """Recovery core on parsed scalars (cf. ecdsa_sig_recover,
+    src/modules/recovery/main_impl.h:87-121).  ``sc``/``b_coeff``
+    parameterize the scalar engine and curve for the exhaustive
+    tiny-order harness.  Returns (GE, ok)."""
     # x = r + n if recid bit1 else r, as a field element
-    xr, _ = F.from_bytes_be(S.to_bytes_be(r))
+    xr, _ = F.from_bytes_be(sc.to_bytes_be(r))
     add_n = (recid & 2) == 2
-    xr_hi = F.norm_weak(F.add(xr, F.fe(S.N)))
+    xr_hi = F.norm_weak(F.add(xr, F.fe(sc.N)))
     x = F.select(add_n, xr_hi, xr)
-    fits = jnp.where(add_n, _scalar_lt(r, _P_MINUS_N), True)
+    fits = jnp.where(add_n, _scalar_lt(r, F.P - sc.N), True)
 
-    y2 = F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF))
+    y2 = F.add(F.mul(F.sqr(x), x), F.fe(b_coeff))
     y, y_ok = F.sqrt(y2)
     y = F.normalize(y)
     want_odd = (recid & 1) == 1
     y = F.normalize(F.select(F.is_odd(y) != want_odd, F.neg(y), y))
 
     Rpt = G.GE(x, y, ~y_ok)
-    rinv = S.inv(r)
-    u_point = S.mul(rinv, s)                                 # r^-1 * s
-    u_gen = S.normalize(S.neg(S.mul(rinv, m)))               # -r^-1 * m
+    rinv = sc.inv(r)
+    u_point = sc.mul(rinv, s)                                # r^-1 * s
+    u_gen = sc.normalize(sc.neg(sc.mul(rinv, m)))            # -r^-1 * m
     qj = ecmult.ecmult(u_gen, u_point, Rpt, table)
-    ok = sig_ok & y_ok & fits & ~qj.inf & ~S.is_zero(r) & ~S.is_zero(s)
+    ok = y_ok & fits & ~qj.inf & ~sc.is_zero(r) & ~sc.is_zero(s)
     return G.ge_from_gej(qj), ok
+
+
+def recover(msg32, sig64, recid, table=None):
+    """Recover pubkey from (sig, recid) (cf. ecdsa_sig_recover,
+    src/modules/recovery/main_impl.h:87-121). Returns (GE, ok)."""
+    r, s, sig_ok = sig_parse_compact(sig64)
+    m, _ = S.from_bytes_be(msg32)
+    q, ok = recover_scalars(m, r, s, recid, table)
+    return q, ok & sig_ok
 
 
 def signature_normalize(sig64):
@@ -204,6 +238,41 @@ def _pad_to(v, mult, axis=-1):
     widths = [(0, 0)] * v.ndim
     widths[axis] = (0, pad)
     return jnp.pad(v, widths)
+
+
+def sign_tpu(msg32, sec32, tb: int | None = None):
+    """Batched deterministic ECDSA sign through the Pallas sign
+    pipeline: RFC6979 in XLA (word-sliced SHA256 is lane-parallel and
+    cheap), then the fixed-base k*G kernel (pallas_gen.ecmult_gen_tpu —
+    the TPU re-expression of the ecmult_gen comb, ecmult_gen_impl.h:54)
+    and one fused epilogue kernel (affine conversion, r = x(R) mod n,
+    s = k^-1(m + r d), low-S, recid — ecdsa_impl.h:282-310).
+    Semantics match :func:`sign`.  Requires a 1-D batch."""
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
+
+    B = msg32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
+    d, d_ovf = S.from_bytes_be(sec32)
+    d_ok = ~d_ovf & ~S.is_zero(d)
+    k, k_ok = _pick_nonce(rfc6979_nonce(msg32, sec32))
+    m, _ = S.from_bytes_be(msg32)
+
+    k_t = _pad_to(jnp.transpose(k.v), tb)
+    m_t = _pad_to(jnp.transpose(m.v), tb)
+    d_t = _pad_to(jnp.transpose(d.v), tb)
+    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb)
+    r_t, s_t, recid_t, fin_ok = PGEN.ecdsa_sign_finish_tpu(
+        x, y, z, k_t, m_t, d_t, tb=tb)
+
+    r = LB(jnp.transpose(r_t)[:B], MASK16)
+    s = LB(jnp.transpose(s_t)[:B], MASK16)
+    ok = d_ok & k_ok & fin_ok[:B]
+    recid = recid_t[:B].astype(jnp.int32)
+    sig64 = jnp.concatenate([S.to_bytes_be(r), S.to_bytes_be(s)], axis=-1)
+    sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
+    return sig64, recid, ok
 
 
 def verify_tpu(msg32, sig64, pub: G.GE, tb: int | None = None):

@@ -316,18 +316,24 @@ def xdh(ell_a64, ell_b64, sec32, party_a):
     """BIP-324 x-only ECDH (ellswift_xdh, main_impl.h:520): output =
     tagged_hash[bip324_ellswift_xonly_ecdh](ell_a||ell_b||x32).
 
-    party_a: python bool — True if we are party A (peer key is ell_b)."""
+    party_a: python bool — True if we are party A (peer key is ell_b).
+
+    The peer key's y is never needed: xswiftec gives an on-curve x and
+    the multiply runs through the sqrt-free x-only ladder
+    (ecmult_const_xonly, src/ecmult_const_impl.h:268), exactly like the
+    reference's ellswift_xdh (main_impl.h:520-560)."""
     theirs = ell_b64 if party_a else ell_a64
-    pub, _ = decode(theirs)
+    u, _ = F.from_bytes_be(theirs[..., :32])
+    t, _ = F.from_bytes_be(theirs[..., 32:])
+    x = xswiftec(u, t)
     d, d_ovf = S.from_bytes_be(sec32)
     ok = ~d_ovf & ~S.is_zero(d)
-    rj = ecmult.ecmult_const(d, pub)
-    r = G.ge_from_gej(rj)
-    x32 = F.to_bytes_be(r.x)
+    x_out, x_ok = ecmult.ecmult_const_xonly(d, x, known_on_curve=True)
+    x32 = F.to_bytes_be(x_out)
     msg = jnp.concatenate([ell_a64, ell_b64, x32], axis=-1)
     out = H.words_to_bytes32(
         H.tagged_hash_bytes("bip324_ellswift_xonly_ecdh", msg))
-    ok = ok & ~rj.inf
+    ok = ok & x_ok
     return jnp.where(ok[..., None], out, jnp.zeros_like(out)), ok
 
 

@@ -53,36 +53,54 @@ def aggregate(msgs32, pubx32, sigs64, n: int):
 def aggverify(msgs32, pubx32, aggsig, n: int, table=None):
     """Verify a half-aggregate (schnorrsig_aggverify, main_impl.h:108).
 
-    Returns a bool lane mask."""
+    Returns a bool lane mask.  The rhs sum_i z_i*R_i + (z_i e_i)*P_i is
+    computed as ONE MSM over 2n points (SURVEY.md §7.1 step 8): only
+    the chained z transcripts are sequential in i; all 2n scalar
+    multiplications run together — through the bucketed Pippenger
+    engine for a single aggregate, or one lane-batched ecmult_const +
+    tree reduction when aggregates themselves are batched."""
+    from ..ops import msm
+    from ..ops.limb import LB, MASK16
+
     batch = msgs32.shape[:-2]
     stream = H.Sha256Stream(batch, tag="HalfAgg/randomizer")
-    rhs = G.gej_infinity(batch)
     ok = jnp.ones(batch, bool)
+    ks, px, py, pinf = [], [], [], []
     for i in range(n):
         r_i = aggsig[..., 32 * i:32 * (i + 1)]
         pk_i = pubx32[..., i, :]
         m_i = msgs32[..., i, :]
-        # pubkey must lift
         P_i, p_ok = schnorrsig.lift_x(pk_i)
-        ok = ok & p_ok
-        # z_i from the chained transcript
         stream.write(jnp.concatenate([r_i, pk_i, m_i], axis=-1))
         # R_i = lift_x(r_i) with EVEN y (ge_set_xo_var(..., 0))
         R_i, r_ok = schnorrsig.lift_x(r_i)
-        ok = ok & r_ok
-        # e_i = BIP340 challenge
+        ok = ok & p_ok & r_ok
         e_b = H.words_to_bytes32(H.tagged_hash_bytes(
             "BIP0340/challenge",
             jnp.concatenate([r_i, pk_i, m_i], axis=-1)))
         e_i, _ = S.from_bytes_be(e_b)
-        t_i = G.gej_add_ge(ecmult.ecmult_const(e_i, P_i), R_i)
-        if i > 0:
+        if i == 0:
+            z_i = S.one(batch)
+        else:
             z_b = H.words_to_bytes32(stream.finalize_words())
             z_i, _ = S.from_bytes_be(z_b)
-            # z_i * T_i via the variable-point engine (T_i as affine)
-            t_aff = G.ge_from_gej(t_i)
-            t_i = ecmult.ecmult_const(z_i, t_aff)
-        rhs = G.gej_add(rhs, t_i)
+        ks += [S.normalize(z_i), S.normalize(S.mul(z_i, e_i))]
+        px += [R_i.x, P_i.x]
+        py += [R_i.y, P_i.y]
+        pinf += [R_i.inf, P_i.inf]
+
+    ax = len(batch)
+    ks_all = LB(jnp.stack([k.v for k in ks], axis=ax), MASK16)
+    pts_all = G.GE(LB(jnp.stack([F.normalize(x).v for x in px], axis=ax),
+                      MASK16),
+                   LB(jnp.stack([F.normalize(y).v for y in py], axis=ax),
+                      MASK16),
+                   jnp.stack(pinf, axis=ax))
+    if batch == ():
+        rhs = msm.ecmult_multi(ks_all, pts_all)
+    else:
+        prods = ecmult.ecmult_const(ks_all, pts_all)   # [*batch, 2n]
+        rhs = msm._tree_reduce(prods, axis=ax)
     s, s_ovf = S.from_bytes_be(aggsig[..., 32 * n:32 * (n + 1)])
     ok = ok & ~s_ovf
     lhs = ecmult.ecmult_gen(s, table)

@@ -23,16 +23,18 @@ def _xor_bytes(a, b):
     return jnp.bitwise_xor(a, b)
 
 
-def keypair_xonly(sec32, table=None):
+def keypair_xonly(sec32, table=None, sc=S):
     """Returns (d_even, xonly_x_bytes, pk GE (even-y), parity, ok):
     the BIP-340 keypair with the secret negated to force even y
-    (cf. keypair_create + xonly logic, modules/extrakeys/main_impl.h)."""
-    d, d_ovf = S.from_bytes_be(sec32)
-    ok = ~d_ovf & ~S.is_zero(d)
+    (cf. keypair_create + xonly logic, modules/extrakeys/main_impl.h).
+    ``sc`` selects the scalar engine (tiny-order under the exhaustive
+    harness, SURVEY.md §4.3)."""
+    d, d_ovf = sc.from_bytes_be(sec32)
+    ok = ~d_ovf & ~sc.is_zero(d)
     pj = ecmult.ecmult_gen(d, table)
     pk = G.ge_from_gej(pj)
     parity = F.is_odd(pk.y)
-    d_even = S.select(parity, S.normalize(S.neg(d)), S.normalize(d))
+    d_even = sc.select(parity, sc.normalize(sc.neg(d)), sc.normalize(d))
     pk_even = G.GE(F.normalize(pk.x),
                    F.normalize(F.select(parity, F.neg(pk.y), pk.y)),
                    pk.inf)
@@ -40,50 +42,57 @@ def keypair_xonly(sec32, table=None):
     return d_even, px32, pk_even, parity, ok
 
 
-def sign(msg32, sec32, aux32=None, table=None):
+def sign(msg32, sec32, aux32=None, table=None, sc=S, nonce32=None):
     """BIP-340 sign with the default nonce function
     (modules/schnorrsig/main_impl.h:16-92,122-213).
-    Returns (sig64, ok)."""
+    Returns (sig64, ok).  ``nonce32`` forces the nonce bytes (the
+    analog of a custom noncefp, e.g. the exhaustive harness's
+    hardened_nonce_function_smallint); ``sc`` selects the scalar
+    engine."""
     batch = msg32.shape[:-1]
     if aux32 is None:
         aux32 = jnp.zeros((*batch, 32), jnp.uint8)
-    d, px32, pk, parity, ok = keypair_xonly(sec32, table)
+    d, px32, pk, parity, ok = keypair_xonly(sec32, table, sc=sc)
 
-    # t = d XOR tagged_hash(BIP0340/aux, aux)
-    aux_hash = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/aux", aux32))
-    d32 = S.to_bytes_be(d)
-    t = _xor_bytes(d32, aux_hash)
+    if nonce32 is None:
+        # t = d XOR tagged_hash(BIP0340/aux, aux)
+        aux_hash = H.words_to_bytes32(
+            H.tagged_hash_bytes("BIP0340/aux", aux32))
+        d32 = sc.to_bytes_be(d)
+        t = _xor_bytes(d32, aux_hash)
 
-    # rand = tagged_hash(BIP0340/nonce, t || pk_x || msg)
-    nonce_msg = jnp.concatenate([t, px32, msg32], axis=-1)
-    rand = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/nonce",
-                                                  nonce_msg))
-    k, k_ovf = S.from_bytes_be(rand)
-    k_ok = ~S.is_zero(k)   # BIP340: k = rand mod n, fail only if 0
+        # rand = tagged_hash(BIP0340/nonce, t || pk_x || msg)
+        nonce_msg = jnp.concatenate([t, px32, msg32], axis=-1)
+        rand = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/nonce",
+                                                      nonce_msg))
+    else:
+        rand = nonce32
+    k, k_ovf = sc.from_bytes_be(rand)
+    k_ok = ~sc.is_zero(k)   # BIP340: k = rand mod n, fail only if 0
 
     rj = ecmult.ecmult_gen(k, table)
     R = G.ge_from_gej(rj)
     r_parity = F.is_odd(R.y)
-    k = S.select(r_parity, S.normalize(S.neg(k)), k)
+    k = sc.select(r_parity, sc.normalize(sc.neg(k)), k)
     rx32 = F.to_bytes_be(R.x)
 
     # e = tagged_hash(BIP0340/challenge, R.x || pk_x || msg) mod n
     ch_msg = jnp.concatenate([rx32, px32, msg32], axis=-1)
     e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
                                                  ch_msg))
-    e, _ = S.from_bytes_be(e_b)
+    e, _ = sc.from_bytes_be(e_b)
 
-    s = S.normalize(S.add(k, S.mul(e, d)))
-    sig64 = jnp.concatenate([rx32, S.to_bytes_be(s)], axis=-1)
+    s = sc.normalize(sc.add(k, sc.mul(e, d)))
+    sig64 = jnp.concatenate([rx32, sc.to_bytes_be(s)], axis=-1)
     ok = ok & k_ok
     sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
     return sig64, ok
 
 
-def lift_x(px32):
+def lift_x(px32, b_coeff: int = F.B_COEFF):
     """BIP-340 lift_x: x bytes -> (GE with even y, ok)."""
     x, xovf = F.from_bytes_be(px32)
-    y2 = F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF))
+    y2 = F.add(F.mul(F.sqr(x), x), F.fe(b_coeff))
     y, y_ok = F.sqrt(y2)
     y = F.normalize(y)
     y = F.normalize(F.select(F.is_odd(y), F.neg(y), y))
@@ -91,18 +100,19 @@ def lift_x(px32):
     return G.GE(x, y, ~ok), ok
 
 
-def verify(msg32, sig64, px32, table=None):
+def verify(msg32, sig64, px32, table=None, sc=S,
+           b_coeff: int = F.B_COEFF):
     """BIP-340 verify (modules/schnorrsig/main_impl.h:215).
     R = s*G - e*P; accept iff !inf, even y, R.x == r."""
-    pk, pk_ok = lift_x(px32)
+    pk, pk_ok = lift_x(px32, b_coeff)
     rx, rx_ovf = F.from_bytes_be(sig64[..., :32])
-    s, s_ovf = S.from_bytes_be(sig64[..., 32:])
+    s, s_ovf = sc.from_bytes_be(sig64[..., 32:])
 
     ch_msg = jnp.concatenate([sig64[..., :32], px32, msg32], axis=-1)
     e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
                                                  ch_msg))
-    e, _ = S.from_bytes_be(e_b)
-    neg_e = S.normalize(S.neg(e))
+    e, _ = sc.from_bytes_be(e_b)
+    neg_e = sc.normalize(sc.neg(e))
 
     rj = ecmult.ecmult(s, neg_e, pk, table)
     R = G.ge_from_gej(rj)
@@ -165,7 +175,7 @@ def batch_verify(msgs32, sigs64, pxs32, seed32=None):
                LB(jnp.concatenate([R.y.v, P.y.v], axis=0), 0xFFFF),
                jnp.concatenate([R.inf, P.inf], axis=0))
     ks = LB(jnp.concatenate([S.normalize(z).v, ze.v], axis=0), 0xFFFF)
-    rhs = msm.msm_windowed(ks, pts)
+    rhs = msm.ecmult_multi(ks, pts)
     lhs = ecmult.ecmult_gen(ssum)
     return ok & G.gej_eq(lhs, rhs)
 
@@ -186,6 +196,72 @@ def _digits_rows_w5(t, lo, hi):
     (pallas_scalar.recode_w5: mag | sign<<8)."""
     from ..ops.pallas_scalar import recode_w5
     return jnp.stack(recode_w5([t[i] for i in range(lo, hi)]), axis=0)
+
+
+def keypair_xonly_tpu(sec32, tb: int | None = None):
+    """TPU keypair: d*G via the fixed-base kernel + one affine kernel.
+    Returns (d_even LB, px32, parity, ok) — the kernel-path subset of
+    :func:`keypair_xonly` (no full GE; sign only needs x and parity)."""
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
+
+    B = sec32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
+    d, d_ovf = S.from_bytes_be(sec32)
+    ok = ~d_ovf & ~S.is_zero(d)
+    d_t = _pad_to(jnp.transpose(d.v), tb)
+    x, y, z = PGEN.ecmult_gen_tpu(d_t, tb=tb)
+    xa, ya = PGEN.affine_xy_tpu(x, y, z, tb=tb)
+    parity = (ya[0, :B] & 1) == 1
+    d_even = S.select(parity, S.normalize(S.neg(d)), S.normalize(d))
+    px32 = F.to_bytes_be(LB(jnp.transpose(xa)[:B], 0xFFFF))
+    return d_even, px32, parity, ok
+
+
+def sign_tpu(msg32, sec32, aux32=None, tb: int | None = None):
+    """BIP-340 sign through the Pallas sign pipeline (two fixed-base
+    kernels: pubkey + nonce point; tagged hashes stay in XLA; the
+    s = k + e*d epilogue is one mod-n muladd kernel).  Semantics match
+    :func:`sign`."""
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
+
+    B = msg32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(B)
+    batch = msg32.shape[:-1]
+    if aux32 is None:
+        aux32 = jnp.zeros((*batch, 32), jnp.uint8)
+    d_even, px32, _, ok = keypair_xonly_tpu(sec32, tb=tb)
+
+    aux_hash = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/aux", aux32))
+    t = _xor_bytes(S.to_bytes_be(d_even), aux_hash)
+    nonce_msg = jnp.concatenate([t, px32, msg32], axis=-1)
+    rand = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/nonce",
+                                                  nonce_msg))
+    k, _ = S.from_bytes_be(rand)
+    k_ok = ~S.is_zero(k)
+
+    k_t = _pad_to(jnp.transpose(k.v), tb)
+    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb)
+    xa, ya = PGEN.affine_xy_tpu(x, y, z, tb=tb)
+    r_parity = (ya[0] & 1) == 1          # [Bp] (padded)
+    rx32 = F.to_bytes_be(LB(jnp.transpose(xa)[:B], 0xFFFF))
+
+    ch_msg = jnp.concatenate([rx32, px32, msg32], axis=-1)
+    e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
+                                                 ch_msg))
+    e, _ = S.from_bytes_be(e_b)
+    e_t = _pad_to(jnp.transpose(e.v), tb)
+    d_t = _pad_to(jnp.transpose(d_even.v), tb)
+    s_t = PGEN.muladd_n_tpu(k_t, e_t, d_t, r_parity, tb=tb)
+
+    s32 = S.to_bytes_be(LB(jnp.transpose(s_t)[:B], 0xFFFF))
+    sig64 = jnp.concatenate([rx32, s32], axis=-1)
+    ok = ok & k_ok
+    sig64 = jnp.where(ok[..., None], sig64, jnp.zeros_like(sig64))
+    return sig64, ok
 
 
 def verify_tpu(msg32, sig64, px32, tb: int | None = None):

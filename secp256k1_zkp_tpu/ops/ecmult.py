@@ -42,17 +42,21 @@ TSIZE = 1 << WINDOW   # 16
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=4)
-def _gen_table_np(window: int = WINDOW):
+@lru_cache(maxsize=8)
+def _gen_table_np(window: int = WINDOW, gen: tuple | None = None):
     """[NWIN, TSIZE] affine multiples: table[w][d] = d * 2^(4w) * G.
 
-    Entry 0 is the point at infinity (flagged, coords zero)."""
+    Entry 0 is the point at infinity (flagged, coords zero).  ``gen``
+    overrides the base point — used by the exhaustive tiny-order
+    harness, the analog of the reference's recompiled generator
+    (src/ecmult_gen.h:37-60); the chord-tangent host formulas never
+    reference the curve's b, so they hold on the tiny-order curves."""
     nwin = 256 // window
     tsize = 1 << window
     tx = np.zeros((nwin, tsize, LIMBS), dtype=np.uint32)
     ty = np.zeros((nwin, tsize, LIMBS), dtype=np.uint32)
     tinf = np.zeros((nwin, tsize), dtype=bool)
-    base = hostcurve.G
+    base = gen if gen is not None else hostcurve.G
     for w in range(nwin):
         acc = hostcurve.INF
         for d in range(tsize):
@@ -73,8 +77,8 @@ class GenTable:
     to reuse across jit traces (each trace embeds it as a constant and XLA
     uploads it to device memory once per executable)."""
 
-    def __init__(self, window: int = WINDOW):
-        tx, ty, tinf = _gen_table_np(window)
+    def __init__(self, window: int = WINDOW, gen: tuple | None = None):
+        tx, ty, tinf = _gen_table_np(window, gen)
         self.window = window
         self.tx = tx
         self.ty = ty
@@ -166,13 +170,45 @@ def ecmult_const(k: LB, p: G.GE) -> G.GEJ:
     acc0 = G.gej_infinity(k.batch_shape)
 
     def body(acc, d):
-        for _ in range(WINDOW):
-            acc = G.gej_double(acc)
+        acc = G.gej_double_n(acc, WINDOW)
         pt = G.ge_gather(tx, ty, tinf, d)
         return G.gej_add_ge(acc, pt), None
 
     acc, _ = jax.lax.scan(body, acc0, digs)
     return acc
+
+
+def ecmult_const_xonly(q: LB, x: LB, known_on_curve: bool = False,
+                       b_coeff: int | None = None):
+    """x(q*P) from x(P) alone — no square root anywhere (counterpart of
+    ecmult_const_xonly, src/ecmult_const_impl.h:268-402, denominator-free
+    case).
+
+    Effective-affine isomorphism trick (Dettman): with g = x^3 + B and
+    v = sqrt(g), the point (x, y, 1) equals (x*g, g^2, v) in Jacobian
+    form; on the phi_v-isomorphic curve (same group law — B never
+    appears in our add/double formulas) the base is simply affine
+    (x*g, g^2).  q*P runs there through the standard constant-dataflow
+    engine, and the secp256k1 affine result is X/(Z^2 * g) — v is never
+    materialized, so no sqrt is computed.
+
+    Returns (x_out canonical LB, ok).  ok requires x on curve (g a
+    nonzero square; skipped if ``known_on_curve``), q != 0, and a
+    non-infinity product."""
+    x = F.FP.norm_weak(x) if x.bound > MASK16 else x
+    if b_coeff is None:
+        b_coeff = F.B_COEFF
+    g = F.norm_weak(F.add(F.mul(F.sqr(x), x), F.fe(b_coeff)))
+    ok = ~S.is_zero(q)
+    if not known_on_curve:
+        ok = ok & F.is_square(g) & ~F.is_zero(g)
+    px = F.norm_weak(F.mul(g, x))
+    py = F.norm_weak(F.sqr(g))
+    p = G.GE(px, py, jnp.zeros(x.batch_shape, bool))
+    rj = ecmult_const(q, p)
+    i = F.inv(F.mul(F.sqr(rj.z), g))
+    x_out = F.normalize(F.mul(rj.x, i))
+    return x_out, ok & ~rj.inf
 
 
 def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
@@ -193,8 +229,7 @@ def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
 
     def body(acc, xs):
         dg, dp = xs
-        for _ in range(WINDOW):
-            acc = G.gej_double(acc)
+        acc = G.gej_double_n(acc, WINDOW)
         acc = G.gej_add_ge(acc, G.ge_gather(gtx, gty, gtinf, dg))
         acc = G.gej_add_ge(acc, G.ge_gather(tx, ty, tinf, dp))
         return acc, None

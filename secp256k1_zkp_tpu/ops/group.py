@@ -162,6 +162,31 @@ def gej_double(a: GEJ) -> GEJ:
     return GEJ(X3, Y3, Z3, a.inf)
 
 
+def gej_double_n(a: GEJ, n: int) -> GEJ:
+    """n successive doublings via lax.fori_loop — ONE doubling body in
+    the trace instead of n inlined copies.  XLA:CPU pays a fixed
+    MLIR->LLVM pipeline cost per fused kernel (~90 kernels per group
+    op), so window loops that double 4-16 times inline dominate every
+    compile; this keeps traces (and compiles) small at the cost of one
+    extra normalize per doubling."""
+    if n == 0:
+        return a
+    if n == 1:
+        return gej_double(a)
+
+    def body(_, c):
+        d = gej_double(GEJ(LB(c[0], MASK16), LB(c[1], MASK16),
+                           LB(c[2], MASK16), c[3]))
+        return (F.FP.norm_if_needed(d.x).v, F.FP.norm_if_needed(d.y).v,
+                F.FP.norm_if_needed(d.z).v, d.inf)
+
+    a0 = (F.FP.norm_if_needed(a.x).v, F.FP.norm_if_needed(a.y).v,
+          F.FP.norm_if_needed(a.z).v, a.inf)
+    out = jax.lax.fori_loop(0, n, body, a0)
+    return GEJ(LB(out[0], MASK16), LB(out[1], MASK16),
+               LB(out[2], MASK16), out[3])
+
+
 # -- complete addition -------------------------------------------------------
 
 

@@ -450,12 +450,13 @@ class Mod:
                      dtype=np.int32))
 
         def body(acc, d):
-            acc = LB(acc, MASK16)
-            for _ in range(4):
-                acc = self.sqr(acc)
+            # 4 squarings via fori_loop: one sqr body in the trace
+            # (compile-size; mul/sqr outputs are already MASK16-bounded)
+            acc = jax.lax.fori_loop(
+                0, 4, lambda _, v: self.sqr(LB(v, MASK16)).v, acc)
             m = LB(jax.lax.dynamic_index_in_dim(table, d, 0, keepdims=False),
                    MASK16)
-            return self.mul(acc, m).v, None
+            return self.mul(LB(acc, MASK16), m).v, None
 
         first = jax.lax.dynamic_index_in_dim(table, digits[0], 0,
                                              keepdims=False)

@@ -336,13 +336,14 @@ def lift_x_tpu(x, tb: int | None = None):
     return y, ok[0] != 0
 
 
-def _schnorr_check_kernel(dig_ref, x_ref, y_ref, z_ref, inf_ref, rx_ref,
+def _schnorr_check_kernel(x_ref, y_ref, z_ref, inf_ref, rx_ref,
                           ok_ref):
     """BIP-340 acceptance on a jacobian R: not-inf, even y(R), x(R)==r.
 
-    Parity needs affine y, so one Fermat inverse of z runs here — the
-    only per-verify mod-p powering on the schnorr path besides lift_x
+    Parity needs affine y, so one z inverse runs here — constant-time
+    divsteps (ops/pallas_divsteps.py), replacing round 1's Fermat chain
     (cf. schnorrsig_verify, modules/schnorrsig/main_impl.h:215)."""
+    from .pallas_divsteps import inv_limbs16
     X = [x_ref[i, :] for i in range(LIMBS)]
     Y = [y_ref[i, :] for i in range(LIMBS)]
     Z = [z_ref[i, :] for i in range(LIMBS)]
@@ -359,7 +360,7 @@ def _schnorr_check_kernel(dig_ref, x_ref, y_ref, z_ref, inf_ref, rx_ref,
         acc = d if acc is None else acc | d
     eq = acc == 0
 
-    w = _pow_windows(Z, dig_ref, 64)          # z^-1 (0 -> 0, masked by inf)
+    w = inv_limbs16(_canon_p(Z), P_PRIME)    # z^-1 (0 -> 0, masked by inf)
     w2 = _sqr_limbs(w)
     w3 = _mul_limbs(w2, w)
     yaff = _canon_p(_mul_limbs(Y, w3))
@@ -373,8 +374,6 @@ def _schnorr_check_call(tb: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    digs = _exp_digits_msb(P_PRIME - 2)
-
     @jax.jit
     def run(x, y, z, inf, rx):
         B = x.shape[-1]
@@ -386,13 +385,9 @@ def _schnorr_check_call(tb: int):
             _schnorr_check_kernel,
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.uint32),
             grid=(B // tb,),
-            in_specs=[
-                pl.BlockSpec((1, 64), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                spec, spec, spec, spec1, spec,
-            ],
+            in_specs=[spec, spec, spec, spec1, spec],
             out_specs=spec1,
-        )(jnp.asarray(digs), x, y, z, inf, rx)
+        )(x, y, z, inf, rx)
 
     return run
 
@@ -406,18 +401,19 @@ def schnorr_check_tpu(x, y, z, inf, rx, tb: int | None = None):
     return ok[0] != 0
 
 
-def _affine_meta_kernel(dinv_ref, dchi_ref, x_ref, y_ref, z_ref,
+def _affine_meta_kernel(dchi_ref, x_ref, y_ref, z_ref,
                         ax_ref, ay_ref, sq_ref):
     """Jacobian -> canonical affine + is_square(y_aff).
 
-    One Fermat z-inverse; the quadratic character runs on Y*Z^3 (same
+    One divsteps z-inverse; the quadratic character runs on Y*Z^3 (same
     character as y_aff = Y/Z^3, since they differ by the square Z^6) —
     the batched analog of ge_set_gej + fe_is_square_var that pedersen /
     generator serialization need (modules/generator/main_impl.h)."""
+    from .pallas_divsteps import inv_limbs16
     X = [x_ref[i, :] for i in range(LIMBS)]
     Y = [y_ref[i, :] for i in range(LIMBS)]
     Z = [z_ref[i, :] for i in range(LIMBS)]
-    w = _pow_windows(Z, dinv_ref, 64)
+    w = inv_limbs16(_canon_p(Z), P_PRIME)
     w2 = _sqr_limbs(w)
     w3 = _mul_limbs(w2, w)
     xa = _canon_p(_mul_limbs(X, w2))
@@ -440,7 +436,6 @@ def _affine_meta_call(tb: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dinv = _exp_digits_msb(P_PRIME - 2)
     dchi = _exp_digits_msb((P_PRIME - 1) // 2)
 
     @jax.jit
@@ -458,11 +453,11 @@ def _affine_meta_call(tb: int):
                 jax.ShapeDtypeStruct((1, B), jnp.uint32),
             ),
             grid=(B // tb,),
-            in_specs=[sspec, sspec, spec, spec, spec],
+            in_specs=[sspec, spec, spec, spec],
             out_specs=(spec, spec,
                        pl.BlockSpec((1, tb), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)),
-        )(jnp.asarray(dinv), jnp.asarray(dchi), x, y, z)
+        )(jnp.asarray(dchi), x, y, z)
 
     return run
 

@@ -245,8 +245,80 @@ def jp_select(mask, a: JP, b: JP) -> JP:
 
 
 # ---------------------------------------------------------------------------
-# The fused verify ecmult kernel
+# Standalone batched complete add (the MSM workhorse: segmented-scan
+# bucket accumulation is a tree of these, ops/msm.py msm_pippenger).
 # ---------------------------------------------------------------------------
+
+
+def _gej_add_kernel(ax, ay, az, ainf, bx, by, bz, binf,
+                    ox, oy, oz, oinf):
+    a = JP(FE([ax[i, :] for i in range(LIMBS)], MASK16),
+           FE([ay[i, :] for i in range(LIMBS)], MASK16),
+           FE([az[i, :] for i in range(LIMBS)], MASK16), ainf[0, :])
+    b = JP(FE([bx[i, :] for i in range(LIMBS)], MASK16),
+           FE([by[i, :] for i in range(LIMBS)], MASK16),
+           FE([bz[i, :] for i in range(LIMBS)], MASK16), binf[0, :])
+    out = jp_add(a, b)
+    for i in range(LIMBS):
+        ox[i, :] = fe_weak(out.x).l[i]
+        oy[i, :] = fe_weak(out.y).l[i]
+        oz[i, :] = fe_weak(out.z).l[i]
+    oinf[0, :] = out.inf
+
+
+@lru_cache(maxsize=8)
+def _gej_add_call(tb: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    @jax.jit
+    def run(ax, ay, az, ainf, bx, by, bz, binf):
+        B = ax.shape[-1]
+        spec = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        spec1 = pl.BlockSpec((1, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _gej_add_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
+                jax.ShapeDtypeStruct((1, B), jnp.uint32),
+            ),
+            grid=(B // tb,),
+            in_specs=[spec, spec, spec, spec1, spec, spec, spec, spec1],
+            out_specs=(spec, spec, spec, spec1),
+        )(ax, ay, az, ainf, bx, by, bz, binf)
+
+    return run
+
+
+def gej_add_tpu(a, b, tb: int | None = None):
+    """Batched complete jacobian add on limb-major tuples
+    (x, y, z [16, B] weak uint32, inf [B] uint32 0/1).  Pads B up to a
+    block multiple internally."""
+    from .pallas_field import auto_tb
+    ax, ay, az, ainf = a
+    bx, by, bz, binf = b
+    B = ax.shape[-1]
+    if tb is None:
+        tb = auto_tb(B)
+    pad = (-B) % tb
+    if pad:
+        def p2(v):
+            return jnp.pad(v, [(0, 0), (0, pad)])
+
+        def p1(v):
+            return jnp.pad(v, [(0, pad)], constant_values=1)
+
+        ax, ay, az, bx, by, bz = map(p2, (ax, ay, az, bx, by, bz))
+        ainf, binf = p1(ainf), p1(binf)
+    ox, oy, oz, oinf = _gej_add_call(tb)(
+        ax, ay, az, ainf[None, :], bx, by, bz, binf[None, :])
+    if pad:
+        return ox[:, :B], oy[:, :B], oz[:, :B], oinf[0, :B]
+    return ox, oy, oz, oinf[0]
 
 
 def _load_fe(ref, row0):

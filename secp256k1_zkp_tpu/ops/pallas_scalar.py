@@ -147,32 +147,13 @@ def _sqr_limbs_n(a):
 _EXP_DIGITS = tuple(((N_ORDER - 2) >> (4 * i)) & 0xF for i in range(64))
 
 
-def _inv_kernel(dig_ref, x_ref, o_ref):
-    """Batched x^(n-2) mod n: fixed 4-bit windows via a fori_loop (one
-    window body); the exponent's digit schedule sits in SMEM
-    (the vectorized analog of the reference's fixed inversion chain,
-    src/scalar_impl.h)."""
+def _inv_kernel(x_ref, o_ref):
+    """Batched x^-1 mod n via constant-time safegcd divsteps
+    (ops/pallas_divsteps.py; the reference's modinv32_impl.h) — ~9x
+    fewer issue slots than the Fermat x^(n-2) chain it replaced."""
+    from .pallas_divsteps import inv_limbs16
     x = [x_ref[i, :] for i in range(LIMBS)]
-    # power table x^0..x^15 (a window body multiplies by pows[d];
-    # d==0 multiplies by one, keeping the dataflow uniform)
-    one = [jnp.zeros_like(x[0]) + 1] + [jnp.zeros_like(x[0])] * 15
-    pows = [one, x]
-    for d in range(2, 16):
-        pows.append(_mul_limbs_n(pows[d - 1], x))
-
-    def body(i, acc):
-        acc = list(acc)
-        for _ in range(4):
-            acc = _sqr_limbs_n(acc)
-        d = dig_ref[0, i]                   # MSB-first schedule
-        sel = pows[0]
-        for e in range(1, 16):
-            m = d == e
-            sel = [jnp.where(m, pe, se) for pe, se in zip(pows[e], sel)]
-        return tuple(_mul_limbs_n(acc, sel))
-
-    acc0 = pows[0]
-    out = jax.lax.fori_loop(0, 64, body, tuple(acc0))
+    out = inv_limbs16(x, N_ORDER)
     for i in range(LIMBS):
         o_ref[i, :] = out[i]
 
@@ -181,9 +162,6 @@ def _inv_kernel(dig_ref, x_ref, o_ref):
 def _inv_call(tb: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    digs = np.array([_EXP_DIGITS[63 - w] for w in range(64)],
-                    np.int32)[None, :]      # MSB-first
 
     @jax.jit
     def run(x):
@@ -194,13 +172,9 @@ def _inv_call(tb: int):
             _inv_kernel,
             out_shape=jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
             grid=(B // tb,),
-            in_specs=[
-                pl.BlockSpec((1, 64), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                spec,
-            ],
+            in_specs=[spec],
             out_specs=spec,
-        )(jnp.asarray(digs), x)
+        )(x)
 
     return run
 
@@ -381,64 +355,63 @@ def _digits128_msb(l8):
 NW5 = 26  # signed 5-bit windows covering a < 2^128 magnitude
 
 
-def recode_w5(l8):
-    """8x16-bit limbs (value < 2^128) -> 26 MSB-first signed 5-bit
-    digits encoded as mag | sign<<8, digits in [-16, 16].
+def recode_w5_n(limbs, nbits: int):
+    """16-bit limb list (value < 2^nbits) -> ceil((nbits+1)/5) MSB-first
+    signed 5-bit digits encoded as mag | sign<<8, digits in [-16, 16].
 
-    Signed fixed windows halve the table reach per entry: 26 windows
-    of (5 doublings + adds) replace 32 of (4 doublings + adds) — the
-    vector analog of the reference's signed-digit multi-comb / wNAF
-    recodings (src/ecmult_gen_impl.h:200, src/ecmult_impl.h:162)."""
+    Signed fixed windows halve the table reach per entry: for 128 bits,
+    26 windows of (5 doublings + adds) replace 32 of (4 doublings +
+    adds) — the vector analog of the reference's signed-digit
+    multi-comb / wNAF recodings (src/ecmult_gen_impl.h:200,
+    src/ecmult_impl.h:162).  Requires nbits % 16 == 0 and 5 | (nbits+ge)
+    coverage: the top digit is bits [5*(nw-1), nbits) plus a carry,
+    which stays <= 16 whenever nbits % 5 != 0 (proof: raw top digit
+    <= 2^(nbits mod 5) - 1 <= 15)."""
+    nl = len(limbs)
+    assert nbits <= 16 * nl and nbits % 5 != 0
+    nw = (nbits + 1 + 4) // 5
     raw = []
-    for i in range(NW5):
+    for i in range(nw):
         bit = 5 * i
         idx, off = bit // 16, bit % 16
-        if idx >= 8:
-            raw.append(jnp.zeros_like(l8[0]))
+        if idx >= nl:
+            raw.append(jnp.zeros_like(limbs[0]))
             continue
-        v = l8[idx] >> off
-        if off + 5 > 16 and idx + 1 < 8:
-            v = v | (l8[idx + 1] << (16 - off))
+        v = limbs[idx] >> off
+        if off + 5 > 16 and idx + 1 < nl:
+            v = v | (limbs[idx + 1] << (16 - off))
         raw.append(v & 31)
     out = []
     carry = None
-    for i in range(NW5):
+    for i in range(nw):
         d = raw[i] if carry is None else raw[i] + carry
         neg = d > 16
         carry = neg.astype(jnp.uint32)
         mag = jnp.where(neg, jnp.uint32(32) - d, d)
         out.append(mag | (carry << 8))
-    # top digit: bits 125-127 (<=7) + carry <= 8 < 16, so never negative
-    # and the final carry is provably zero.
+    # top digit: raw (<= 2^(nbits mod 5) - 1 <= 15) + carry <= 16, so it
+    # is never negative and the final carry is provably zero.
     return out[::-1]
 
 
-def _ecdsa_prep_kernel(dig_ref, m_ref, r_ref, s_ref, d_ref, f_ref):
+def recode_w5(l8):
+    """8x16-bit limbs (value < 2^128) -> 26 MSB-first signed-w5 digits."""
+    return recode_w5_n(l8, 128)
+
+
+def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, f_ref):
     """m, r, s (canonical [16, TB]) -> digit streams + GLV sign flags.
 
     d_ref rows (MSB-first signed 5-bit, mag | sign<<8): 0-25 u1_lo,
     26-51 u1_hi, 52-77 a1, 78-103 a2; f_ref rows: neg1, neg2."""
+    from .pallas_divsteps import inv_limbs16
     m = [m_ref[i, :] for i in range(LIMBS)]
     r = [r_ref[i, :] for i in range(LIMBS)]
     s = [s_ref[i, :] for i in range(LIMBS)]
 
-    # sinv = s^(n-2)  (same windowed schedule as _inv_kernel)
-    pows = [[jnp.zeros_like(s[0]) + 1] + [jnp.zeros_like(s[0])] * 15, s]
-    for d in range(2, 16):
-        pows.append(_mul_limbs_n(pows[d - 1], s))
-
-    def body(i, acc):
-        acc = list(acc)
-        for _ in range(4):
-            acc = _sqr_limbs_n(acc)
-        dg = dig_ref[0, i]
-        sel = pows[0]
-        for e in range(1, 16):
-            mm = dg == e
-            sel = [jnp.where(mm, pe, se) for pe, se in zip(pows[e], sel)]
-        return tuple(_mul_limbs_n(acc, sel))
-
-    sinv = list(jax.lax.fori_loop(0, 64, body, tuple(pows[0])))
+    # sinv via constant-time divsteps (modinv32_impl.h port): replaces
+    # the 330-mul Fermat chain that dominated this kernel in round 1.
+    sinv = inv_limbs16(s, N_ORDER)
 
     u1 = _canon_n(_mul_limbs_n(m, sinv))
     u2 = _canon_n(_mul_limbs_n(r, sinv))
@@ -457,9 +430,6 @@ def _ecdsa_prep_call(tb: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    digs = np.array([_EXP_DIGITS[63 - w] for w in range(64)],
-                    np.int32)[None, :]
-
     @jax.jit
     def run(m, r, s):
         B = m.shape[-1]
@@ -472,18 +442,14 @@ def _ecdsa_prep_call(tb: int):
                 jax.ShapeDtypeStruct((2, B), jnp.uint32),
             ),
             grid=(B // tb,),
-            in_specs=[
-                pl.BlockSpec((1, 64), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                spec16, spec16, spec16,
-            ],
+            in_specs=[spec16, spec16, spec16],
             out_specs=(
                 pl.BlockSpec((4 * NW5, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
-        )(jnp.asarray(digs), m, r, s)
+        )(m, r, s)
 
     return run
 

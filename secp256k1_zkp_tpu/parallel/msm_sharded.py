@@ -36,7 +36,7 @@ def msm_sharded(mesh: Mesh, ks: LB, pts: G.GE) -> G.GEJ:
     def local(kv, px, py, pinf):
         k = LB(kv, MASK16)
         p = G.GE(LB(px, MASK16), LB(py, MASK16), pinf)
-        part = msm.msm_windowed(k, p)
+        part = msm.ecmult_multi(k, p)
         # pack partial: [16]x3 limbs + inf flag
         xs = jax.lax.all_gather(F.FP.norm_if_needed(part.x).v, BATCH_AXIS)
         ys = jax.lax.all_gather(F.FP.norm_if_needed(part.y).v, BATCH_AXIS)

@@ -23,6 +23,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# jax 0.9.0 + the axon PJRT plugin ignore the JAX_PLATFORMS env var
+# (the tunnel backend self-registers and wins default_backend()); the
+# config key is honored, so enforce the choice in-process too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache: the big scan programs (ecmult etc.) are
 # expensive to compile on CPU; cache across test runs.
 jax.config.update("jax_compilation_cache_dir",

@@ -46,11 +46,68 @@ def secret_entries():
         t, _ = S.from_bytes_be(tweak32)
         return eckey.privkey_tweak_add(d, t)
 
+    # wider secret-consuming sweep, mirroring the reference's ctime
+    # coverage list (src/ctime_tests.c:53-82): keygen, recovery,
+    # ellswift, s2c/anti-exfil, adaptor encrypt/decrypt, musig.
+    from secp256k1_zkp_tpu.modules import (ecdsa_adaptor, ecdsa_s2c,
+                                           ellswift, extrakeys, musig,
+                                           recovery)
+
+    def keypair_fn(sec32):
+        return extrakeys.keypair_create(sec32)
+
+    def recovery_fn(msg32, sec32):
+        return recovery.sign_recoverable(msg32, sec32)
+
+    def ellswift_create_fn(sec32, aux32):
+        return ellswift.create(sec32, aux32)
+
+    def ellswift_xdh_fn(ell_a, ell_b, sec32):
+        return ellswift.xdh(ell_a, ell_b, sec32, party_a=True)
+
+    def s2c_fn(msg32, sec32, data32):
+        return ecdsa_s2c.sign(msg32, sec32, data32)
+
+    def adaptor_encrypt_fn(sec32, enc33, msg32):
+        ek, _ = eckey.pubkey_parse(enc33)
+        return ecdsa_adaptor.encrypt(sec32, ek, msg32)
+
+    def adaptor_decrypt_fn(deckey32, adaptor162):
+        return ecdsa_adaptor.decrypt(deckey32, adaptor162)
+
+    def musig_fn(sec32, secrand32, msg32, pub33):
+        from secp256k1_zkp_tpu.ops import scalar as S
+        d, _ = S.from_bytes_be(sec32)
+        pk, _ = eckey.pubkey_create(d)
+        pk2, _ = eckey.pubkey_parse(pub33)
+        _, cache, _ = musig.pubkey_agg([pk, pk2])
+        secnonce, pubnonce, _ = musig.nonce_gen(
+            secrand32, pk, sec32=sec32, msg32=msg32)
+        aggnonce = musig.nonce_agg([pubnonce, pubnonce])
+        session = musig.nonce_process(aggnonce, msg32, cache)
+        return musig.partial_sign(secnonce, d, pk, cache, session)
+
+    ell64 = jnp.zeros((B, 64), jnp.uint8)
+    adaptor162 = jnp.zeros((B, 162), jnp.uint8)
+    # a valid parseable compressed point (the generator)
+    from secp256k1_zkp_tpu.utils import hostcurve
+    g33 = bytes([2 + (hostcurve.G[1] & 1)]) + hostcurve.G[0].to_bytes(32,
+                                                                      "big")
+    gpt = jnp.asarray(np.tile(np.frombuffer(g33, np.uint8), (B, 1)))
+
     return {
         "ecdsa_sign": (ecdsa.sign, (msg, sec)),
         "schnorr_sign": (schnorrsig.sign, (msg, sec)),
-        "ecdh": (ecdh_fn, (sec, pub33)),
+        "ecdh": (ecdh_fn, (sec, gpt)),
         "seckey_tweak": (tweak_fn, (sec, msg)),
+        "keypair_create": (keypair_fn, (sec,)),
+        "recovery_sign": (recovery_fn, (msg, sec)),
+        "ellswift_create": (ellswift_create_fn, (sec, msg)),
+        "ellswift_xdh": (ellswift_xdh_fn, (ell64, ell64, sec)),
+        "s2c_sign": (s2c_fn, (msg, sec, msg)),
+        "adaptor_encrypt": (adaptor_encrypt_fn, (sec, gpt, msg)),
+        "adaptor_decrypt": (adaptor_decrypt_fn, (sec, adaptor162)),
+        "musig_partial_sign": (musig_fn, (sec, msg, msg, gpt)),
     }
 
 

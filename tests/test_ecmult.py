@@ -79,3 +79,39 @@ def test_ecmult_chain(rng):
     exp = [oracle.point_mul(a * b % oracle.N, oracle.G)
            for a, b in zip(k1, k2)]
     assert got == exp
+
+
+def test_ecmult_const_xonly(rng):
+    """Sqrt-free x-only ladder vs the oracle (ecmult_const_xonly,
+    src/ecmult_const_impl.h:268): random on-curve x values, both y
+    parities give the same |x| result; off-curve x is rejected."""
+    ks = rand_scalars(rng, 6)[:5] + [1]
+    base_ks = [int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+               for _ in range(6)]
+    pts = [oracle.point_mul(b, oracle.G) for b in base_ks]
+    xs = mk_lb([p[0] for p in pts])
+    x_out, ok = jax.jit(
+        lambda k, x: ecmult.ecmult_const_xonly(k, x))(mk_lb(ks), xs)
+    okn = np.asarray(ok)
+    got = np.asarray(x_out.v)
+    for i, (k, p) in enumerate(zip(ks, pts)):
+        exp = oracle.point_mul(k, p)
+        if exp is None:  # k == 0 rejected
+            assert not okn[i]
+            continue
+        assert okn[i]
+        assert limbs_to_int_np(got[i]) == exp[0], i
+
+
+def test_ecmult_const_xonly_off_curve(rng):
+    """x not on the curve must be flagged when known_on_curve=False."""
+    # find an x whose x^3+7 is not a QR
+    P = oracle.P
+    x = 1
+    while pow(pow(x, 3, P) + 7, (P - 1) // 2, P) == 1:
+        x += 1
+    ks = mk_lb([5, 7])
+    xs = mk_lb([x, x])
+    _, ok = jax.jit(
+        lambda k, v: ecmult.ecmult_const_xonly(k, v))(ks, xs)
+    assert not np.asarray(ok).any()

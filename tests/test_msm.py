@@ -66,6 +66,37 @@ def test_msm_sharded_8dev(rng):
     check(total, expect)
 
 
+def test_msm_pippenger_small(rng):
+    """Bucketed Pippenger vs the python oracle at a forced tiny window
+    (exercises sort + segmented scan + bucket reduce on CPU)."""
+    ks, pts, expect = msm_case(rng, 13)
+    check(jax.jit(lambda k, p: msm.msm_pippenger(k, p, c=5))(
+        mk_lb(ks), mk_ge(pts)), expect)
+
+
+def test_msm_pippenger_with_infinity_points(rng):
+    ks = [int.from_bytes(rng.bytes(32), "big") % oracle.N
+          for _ in range(9)]
+    pts = [oracle.point_mul(i * 3 + 2, oracle.G) for i in range(7)]
+    pts += [None, None]
+    expect = None
+    for k, p in zip(ks, pts):
+        if p is not None:
+            expect = oracle.point_add(expect, oracle.point_mul(k, p))
+    check(jax.jit(lambda k, p: msm.msm_pippenger(k, p, c=4))(
+        mk_lb(ks), mk_ge(pts)), expect)
+
+
+def test_pippenger_window_table():
+    # cost-model window choice is monotone-ish and in range
+    last = 4
+    for n in [16, 128, 1024, 1 << 14, 1 << 17, 1 << 20]:
+        c = msm.pippenger_window(n)
+        assert 4 <= c <= 16
+        assert c >= last
+        last = c
+
+
 def test_tree_reduce_with_infinities(rng):
     pts = [oracle.point_mul(k + 1, oracle.G) for k in range(5)]
     pts += [None, None, None]  # infinity lanes

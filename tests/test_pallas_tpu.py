@@ -130,6 +130,84 @@ def test_pedersen_commit_tpu(rng):
         assert bytes(c33[i]) == want, i
 
 
+def test_ecdsa_sign_tpu(rng):
+    """Kernel sign path is bit-exact vs the RFC6979 host oracle."""
+    from secp256k1_zkp_tpu.modules import ecdsa
+    msgs = np.zeros((B, 32), np.uint8)
+    secs = np.zeros((B, 32), np.uint8)
+    want_sig = np.zeros((B, 64), np.uint8)
+    want_rec = np.zeros(B, np.int32)
+    for i in range(B):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        r_, s_, rec = oracle.ecdsa_sign(msg, d)
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        secs[i] = np.frombuffer(d.to_bytes(32, "big"), np.uint8)
+        want_sig[i] = np.frombuffer(
+            r_.to_bytes(32, "big") + s_.to_bytes(32, "big"), np.uint8)
+        want_rec[i] = rec
+    sig, recid, ok = jax.block_until_ready(
+        ecdsa.sign_tpu(jnp.asarray(msgs), jnp.asarray(secs)))
+    assert np.asarray(ok).all()
+    assert (np.asarray(sig) == want_sig).all()
+    assert (np.asarray(recid) == want_rec).all()
+
+
+def test_schnorr_sign_tpu(rng):
+    """Kernel BIP-340 sign is bit-exact vs the host oracle."""
+    from secp256k1_zkp_tpu.modules import schnorrsig
+    msgs = np.zeros((B, 32), np.uint8)
+    secs = np.zeros((B, 32), np.uint8)
+    want = np.zeros((B, 64), np.uint8)
+    for i in range(B):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        secs[i] = np.frombuffer(d.to_bytes(32, "big"), np.uint8)
+        want[i] = np.frombuffer(oracle.schnorr_sign(msg, d), np.uint8)
+    sig, ok = jax.block_until_ready(
+        schnorrsig.sign_tpu(jnp.asarray(msgs), jnp.asarray(secs)))
+    assert np.asarray(ok).all()
+    assert (np.asarray(sig) == want).all()
+
+
+@pytest.mark.parametrize("N", [1024, 16384])
+def test_msm_pippenger_tpu(rng, N):
+    """Bucketed Pippenger at scale vs an analytic oracle: points are
+    P_i = a_i*G (computed by the tested-elsewhere gen kernel), so
+    sum k_i*P_i = (sum k_i a_i mod n)*G is one host point_mul."""
+    import jax.numpy as jnp
+    from secp256k1_zkp_tpu.ops import msm, field as F, group as G
+    from secp256k1_zkp_tpu.ops import pallas_gen as PGEN
+    from secp256k1_zkp_tpu.ops.limb import LB, MASK16, limbs_to_int_np
+
+    a_int = [int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+             for _ in range(N)]
+    k_int = [int.from_bytes(rng.bytes(32), "big") % hostcurve.N
+             for _ in range(N)]
+    k_int[0] = 0
+
+    def rows(vals):
+        arr = np.zeros((16, len(vals)), np.uint32)
+        for j, v in enumerate(vals):
+            for i in range(16):
+                arr[i, j] = (v >> (16 * i)) & 0xFFFF
+        return jnp.asarray(arr)
+
+    x, y, z = PGEN.ecmult_gen_tpu(rows(a_int))
+    xa, ya = PGEN.affine_xy_tpu(x, y, z)
+    pts = G.GE(LB(jnp.transpose(xa), MASK16), LB(jnp.transpose(ya), MASK16),
+               jnp.zeros((N,), bool))
+    ks = LB(jnp.transpose(rows(k_int)), MASK16)
+    total = jax.jit(msm.msm_pippenger)(ks, pts)
+    got = jax.block_until_ready(jax.jit(G.ge_from_gej)(total))
+    expect = hostcurve.mul(
+        sum(k * a for k, a in zip(k_int, a_int)) % hostcurve.N)
+    gx = limbs_to_int_np(np.asarray(
+        jax.jit(lambda v: F.normalize(v).v)(got.x)))
+    assert gx == expect[0]
+
+
 def test_lift_x_and_affine_meta(rng):
     from secp256k1_zkp_tpu.ops import pallas_field as PF
     xs = np.zeros((16, B), np.uint32)
