@@ -187,16 +187,62 @@ def main():
                          jax.device_put(jnp.asarray(vlo))),
                         "pedersen_commit_throughput_per_chip", "commits/s")
 
-        t0 = time.perf_counter()
-        s2 = None
-        for _ in range(2):
-            s2 = make_batch(msgs, secs)
-        np.asarray(s2[0])
-        dts = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": "ecdsa_sign+keygen_throughput_per_chip",
-            "value": round(BATCH * 2 / dts, 1),
-            "unit": "signs/s"}), file=sys.stderr)
+        # Sign paths: the round-2 Pallas fixed-base pipeline when on
+        # TPU (pallas_gen.ecmult_gen_tpu + fused epilogues), else jnp.
+        if use_pallas:
+            from secp256k1_zkp_tpu.modules import ecdsa as _E
+            secs_all = np.broadcast_to(secs_np, (ITERS, BATCH, 32)).copy()
+            for i in range(ITERS):
+                secs_all[i, :, 1] ^= np.uint8(i)
+                secs_all[i, :, 0] &= 0x7F
+            secs_all = jax.device_put(jnp.asarray(secs_all))
+            stream_rate(lambda m, s: _E.sign_tpu(m, s)[0][..., 0],
+                        (msgs_all, secs_all),
+                        "ecdsa_sign_throughput_per_chip", "signs/s")
+            stream_rate(lambda m, s: schnorrsig.sign_tpu(m, s)[0][..., 0],
+                        (msgs_all, secs_all),
+                        "schnorr_sign_throughput_per_chip", "signs/s")
+
+            # MSM: bucketed Pippenger at 2^20 points (the multi-chip
+            # unit of work; ref harness src/bench_ecmult.c:309-346).
+            from secp256k1_zkp_tpu.ops import msm
+            from secp256k1_zkp_tpu.ops import pallas_gen as PGEN
+            NP_MSM = 1 << 20
+            a = rng.integers(0, 1 << 16, (16, NP_MSM), dtype=np.int64
+                             ).astype(np.uint32)
+            a[15] &= 0x7FFF  # < n
+            kk = rng.integers(0, 1 << 16, (16, NP_MSM), dtype=np.int64
+                              ).astype(np.uint32)
+            kk[15] &= 0x7FFF
+            x, y, z = PGEN.ecmult_gen_tpu(jnp.asarray(a))
+            xa, ya = PGEN.affine_xy_tpu(x, y, z)
+            pts = G.GE(LB(jnp.transpose(xa), MASK16),
+                       LB(jnp.transpose(ya), MASK16),
+                       jnp.zeros((NP_MSM,), bool))
+            ks = LB(jnp.transpose(jnp.asarray(kk)), MASK16)
+            msm_fn = jax.jit(msm.msm_pippenger)
+            r0 = jax.block_until_ready(msm_fn(ks, pts))  # warm
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                r0 = msm_fn(ks, pts)
+            jax.block_until_ready(r0)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "msm_pippenger_points_per_s",
+                "value": round(NP_MSM * reps / dt, 1),
+                "unit": f"points/s (n={NP_MSM})"}), file=sys.stderr)
+        else:
+            t0 = time.perf_counter()
+            s2 = None
+            for _ in range(2):
+                s2 = make_batch(msgs, secs)
+            np.asarray(s2[0])
+            dts = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "ecdsa_sign+keygen_throughput_per_chip",
+                "value": round(BATCH * 2 / dts, 1),
+                "unit": "signs/s"}), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,72 @@
+"""Frozen trace-time configuration.
+
+The reference fixes every algorithmic constant at compile time
+(configure.ac:141-254: --with-ecmult-window, --with-ecmult-gen-kb,
+ENABLE_MODULE_* defines) so the hot path never branches on
+configuration.  The TPU analog is this frozen dataclass: resolved ONCE
+(env overrides read at first use), then treated as trace-time
+constants — every jitted program specializes on it, exactly like the
+reference's preprocessor constants specialize the C.
+
+Mutating configuration after kernels have been traced would silently
+de-sync cached executables from the flags, so ``set_config`` replaces
+the whole frozen object and is test-only by contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Kernel dispatch: None = auto (Pallas on TPU backends, jnp
+    # elsewhere); True/False force.  Env: SECP_TPU_NO_PALLAS=1 -> False.
+    use_pallas: bool | None = None
+    # SHA256 compression body: rolled lax.scan (compile-small) or
+    # unrolled 64 rounds (marginally faster).  Env: SECP_TPU_UNROLL_SHA.
+    sha_unroll: bool = False
+    # Kernel block width override (lanes per Mosaic grid step); None =
+    # auto_tb picks from the batch.  Env: SECP_TPU_TB.
+    tb: int | None = None
+    # Strauss/GLV window width for the verify engines (w5 signed digits
+    # mirrors WINDOW_A=5, src/ecmult_impl.h:35).  Informational: the
+    # kernels are generated for w=5; changing this requires new tables.
+    window_a: int = 5
+    # Strauss -> Pippenger crossover for ecmult_multi
+    # (ECMULT_PIPPENGER_THRESHOLD analog, src/ecmult_impl.h:55).
+    pippenger_threshold: int = 88
+
+    def pallas_enabled(self) -> bool:
+        """Resolve the dispatch tri-state against the live backend."""
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+        return jax.default_backend() not in ("cpu",)
+
+
+def _from_env() -> Config:
+    tb = os.environ.get("SECP_TPU_TB")
+    return Config(
+        use_pallas=(False if os.environ.get("SECP_TPU_NO_PALLAS")
+                    else None),
+        sha_unroll=bool(int(os.environ.get("SECP_TPU_UNROLL_SHA", "0"))),
+        tb=int(tb) if tb else None,
+    )
+
+
+_CONFIG = _from_env()
+
+
+def config() -> Config:
+    return _CONFIG
+
+
+def set_config(cfg: Config) -> Config:
+    """Replace the frozen config (tests only — see module docstring).
+    Returns the previous value so callers can restore it."""
+    global _CONFIG
+    prev = _CONFIG
+    _CONFIG = cfg
+    return prev

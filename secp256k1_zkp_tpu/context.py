@@ -6,16 +6,24 @@ link-time tables precomputed_ecmult_gen.c / precomputed_ecmult.c) and is
 a pytree, so it threads through jit boundaries as ordinary data.
 "Creation" is the host->device table upload (SURVEY.md §3.1).
 
-The reference's ecmult_gen blinding exists to defeat host-observable
-side channels of CPU execution; on TPU the batched kernels are fixed
-dataflow programs (no secret-dependent branches or host-visible timing),
-but the blinding hook is kept (``randomize``) for parity: it re-derives
-a scalar offset added into every ecmult_gen call.
+``randomize`` implements the scalar-offset + point-offset half of the
+reference's ecmult_gen blinding (src/ecmult_gen_impl.h:285-339): a
+secret offset b is derived from the seed via RFC6979-shaped HMAC-DRBG,
+and every blinded fixed-base multiply computes (k+b)*G + (-b)*G.  On
+TPU the kernels are fixed-dataflow (no secret-dependent timing), but
+the blinding still hedges the compromised-RNG / fault-injection models
+the reference cites, at the cost of one mixed add per ecmult_gen.  The
+reference's third blind — the projective Z rescale — has no analog
+here (no secret-dependent normalization exists to hide).
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac as _hmac
 from functools import lru_cache
+
+import numpy as np
 
 from .ops import ecmult
 
@@ -37,18 +45,54 @@ def selftest() -> None:
         raise RuntimeError(f"SHA256 selftest failure: {got}")
 
 
+def _derive_blind(seed32: bytes, n: int) -> int:
+    """HMAC-SHA256 DRBG -> scalar in [1, n-1].
+
+    Same derivation shape as the reference's ecmult_gen_blind
+    (src/ecmult_gen_impl.h:306-331: rfc6979 chain keyed on the current
+    blind XOR seed, retry-until-valid)."""
+    v = b"\x01" * 32
+    k = b"\x00" * 32
+    k = _hmac.new(k, v + b"\x00" + seed32, hashlib.sha256).digest()
+    v = _hmac.new(k, v, hashlib.sha256).digest()
+    k = _hmac.new(k, v + b"\x01" + seed32, hashlib.sha256).digest()
+    v = _hmac.new(k, v, hashlib.sha256).digest()
+    while True:
+        v = _hmac.new(k, v, hashlib.sha256).digest()
+        b = int.from_bytes(v, "big")
+        if 0 < b < n:
+            return b
+        k = _hmac.new(k, v + b"\x00", hashlib.sha256).digest()
+        v = _hmac.new(k, v, hashlib.sha256).digest()
+
+
 class Context:
-    """Holds the fixed-base generator table (and, later, blinding state,
-    module generator tables)."""
+    """Holds the fixed-base generator table and the ecmult_gen blinding
+    state (``blind`` — None until :meth:`randomize` is called, matching
+    the reference's unblinded static context, src/secp256k1.c:90-98)."""
 
     def __init__(self, window: int = ecmult.WINDOW):
         selftest()
         self.gen_table = ecmult.GenTable(window)
+        self.blind = None
 
-    # The reference exposes context_randomize (secp256k1.c:833); on TPU
-    # the table is public and lanes are data-independent, so this is a
-    # no-op retained for API parity.
     def randomize(self, seed32: bytes | None = None) -> "Context":
+        """Re-derive the ecmult_gen blinding from seed32
+        (secp256k1_context_randomize, src/secp256k1.c:833-841).
+        seed32=None resets to the unblinded state, like the reference's
+        NULL seed path."""
+        if seed32 is None:
+            self.blind = None
+            return self
+        from .utils import hostcurve
+        b = _derive_blind(seed32, hostcurve.N)
+        gbx, gby = hostcurve.mul(hostcurve.N - b)
+        lim = lambda v: tuple((v >> (16 * i)) & 0xFFFF for i in range(16))
+        self.blind = (
+            lim(b),
+            np.array(lim(gbx), np.uint32),
+            np.array(lim(gby), np.uint32),
+        )
         return self
 
 

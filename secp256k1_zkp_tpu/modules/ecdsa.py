@@ -223,11 +223,8 @@ def signature_normalize(sig64):
 
 
 def _pallas_ok() -> bool:
-    import os
-    if os.environ.get("SECP_TPU_NO_PALLAS"):
-        return False
-    import jax
-    return jax.default_backend() not in ("cpu",)
+    from ..config import config
+    return config().pallas_enabled()
 
 
 def _pad_to(v, mult, axis=-1):
@@ -240,14 +237,15 @@ def _pad_to(v, mult, axis=-1):
     return jnp.pad(v, widths)
 
 
-def sign_tpu(msg32, sec32, tb: int | None = None):
+def sign_tpu(msg32, sec32, tb: int | None = None, blind=None):
     """Batched deterministic ECDSA sign through the Pallas sign
     pipeline: RFC6979 in XLA (word-sliced SHA256 is lane-parallel and
     cheap), then the fixed-base k*G kernel (pallas_gen.ecmult_gen_tpu —
     the TPU re-expression of the ecmult_gen comb, ecmult_gen_impl.h:54)
     and one fused epilogue kernel (affine conversion, r = x(R) mod n,
     s = k^-1(m + r d), low-S, recid — ecdsa_impl.h:282-310).
-    Semantics match :func:`sign`.  Requires a 1-D batch."""
+    Semantics match :func:`sign`.  Requires a 1-D batch.
+    ``blind`` is Context.blind generator-blinding state (or None)."""
     from ..ops import pallas_field as PF
     from ..ops import pallas_gen as PGEN
 
@@ -262,7 +260,7 @@ def sign_tpu(msg32, sec32, tb: int | None = None):
     k_t = _pad_to(jnp.transpose(k.v), tb)
     m_t = _pad_to(jnp.transpose(m.v), tb)
     d_t = _pad_to(jnp.transpose(d.v), tb)
-    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb)
+    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb, blind=blind)
     r_t, s_t, recid_t, fin_ok = PGEN.ecdsa_sign_finish_tpu(
         x, y, z, k_t, m_t, d_t, tb=tb)
 

@@ -164,11 +164,21 @@ def batch_verify(msgs32, sigs64, pxs32, seed32=None):
     zv = zv.at[0, 0].set(1)                       # z_0 = 1
     z = LB(zv, 0xFFFF)
 
-    # sum_i z_i s_i mod n: column-sum stays exact in uint32 for
-    # n <= 2^15, then one weak-normalize.
-    assert n <= 32768, "batch too large for the column accumulator"
+    # sum_i z_i s_i mod n: a column-sum of canonical 16-bit limbs stays
+    # exact in uint32 for <= 2^15 terms, so sum hierarchically: chunk
+    # column-sums, normalize each, then one outer column-sum (removes
+    # the round-1 n <= 32768 cap; any n up to 2^30 now works).
     zs = S.normalize(S.mul(z, s))
-    ssum = S.FN.norm_weak(LB(zs.v.sum(axis=0), n * 0xFFFF))
+    CH = 32768
+    if n <= CH:
+        ssum = S.FN.norm_weak(LB(zs.v.sum(axis=0), n * 0xFFFF))
+    else:
+        parts = [S.normalize(S.FN.norm_weak(LB(
+            zs.v[off:off + CH].sum(axis=0),
+            min(CH, n - off) * 0xFFFF))).v
+            for off in range(0, n, CH)]
+        ssum = S.FN.norm_weak(LB(jnp.stack(parts).sum(axis=0),
+                                 len(parts) * 0xFFFF))
 
     ze = S.normalize(S.mul(z, e))
     pts = G.GE(LB(jnp.concatenate([R.x.v, P.x.v], axis=0), 0xFFFF),
@@ -198,7 +208,7 @@ def _digits_rows_w5(t, lo, hi):
     return jnp.stack(recode_w5([t[i] for i in range(lo, hi)]), axis=0)
 
 
-def keypair_xonly_tpu(sec32, tb: int | None = None):
+def keypair_xonly_tpu(sec32, tb: int | None = None, blind=None):
     """TPU keypair: d*G via the fixed-base kernel + one affine kernel.
     Returns (d_even LB, px32, parity, ok) — the kernel-path subset of
     :func:`keypair_xonly` (no full GE; sign only needs x and parity)."""
@@ -211,7 +221,7 @@ def keypair_xonly_tpu(sec32, tb: int | None = None):
     d, d_ovf = S.from_bytes_be(sec32)
     ok = ~d_ovf & ~S.is_zero(d)
     d_t = _pad_to(jnp.transpose(d.v), tb)
-    x, y, z = PGEN.ecmult_gen_tpu(d_t, tb=tb)
+    x, y, z = PGEN.ecmult_gen_tpu(d_t, tb=tb, blind=blind)
     xa, ya = PGEN.affine_xy_tpu(x, y, z, tb=tb)
     parity = (ya[0, :B] & 1) == 1
     d_even = S.select(parity, S.normalize(S.neg(d)), S.normalize(d))
@@ -219,7 +229,8 @@ def keypair_xonly_tpu(sec32, tb: int | None = None):
     return d_even, px32, parity, ok
 
 
-def sign_tpu(msg32, sec32, aux32=None, tb: int | None = None):
+def sign_tpu(msg32, sec32, aux32=None, tb: int | None = None,
+             blind=None):
     """BIP-340 sign through the Pallas sign pipeline (two fixed-base
     kernels: pubkey + nonce point; tagged hashes stay in XLA; the
     s = k + e*d epilogue is one mod-n muladd kernel).  Semantics match
@@ -233,7 +244,7 @@ def sign_tpu(msg32, sec32, aux32=None, tb: int | None = None):
     batch = msg32.shape[:-1]
     if aux32 is None:
         aux32 = jnp.zeros((*batch, 32), jnp.uint8)
-    d_even, px32, _, ok = keypair_xonly_tpu(sec32, tb=tb)
+    d_even, px32, _, ok = keypair_xonly_tpu(sec32, tb=tb, blind=blind)
 
     aux_hash = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/aux", aux32))
     t = _xor_bytes(S.to_bytes_be(d_even), aux_hash)
@@ -244,7 +255,7 @@ def sign_tpu(msg32, sec32, aux32=None, tb: int | None = None):
     k_ok = ~S.is_zero(k)
 
     k_t = _pad_to(jnp.transpose(k.v), tb)
-    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb)
+    x, y, z = PGEN.ecmult_gen_tpu(k_t, tb=tb, blind=blind)
     xa, ya = PGEN.affine_xy_tpu(x, y, z, tb=tb)
     r_parity = (ya[0] & 1) == 1          # [Bp] (padded)
     rx32 = F.to_bytes_be(LB(jnp.transpose(xa)[:B], 0xFFFF))

@@ -117,10 +117,8 @@ def msm_windowed(ks: LB, pts: G.GE) -> G.GEJ:
 
 
 def _use_pallas() -> bool:
-    import os
-    if os.environ.get("SECP_TPU_NO_PALLAS"):
-        return False
-    return jax.default_backend() not in ("cpu",)
+    from ..config import config
+    return config().pallas_enabled()
 
 
 def _pt_add(a, b):
@@ -265,9 +263,12 @@ def pippenger_window(n: int) -> int:
 def msm_pippenger(ks: LB, pts: G.GE, c: int | None = None) -> G.GEJ:
     """Bucketed Pippenger MSM over the leading batch axis (1-D batch).
 
-    Returns a single GEJ.  See module docstring for the algorithm;
-    parity vs the C oracle's ecmult_multi_var is tested at 1e3..1e5
-    points in tests/test_msm.py."""
+    Returns a single GEJ.  See module docstring for the algorithm.
+    Parity: tests/test_msm.py (python oracle, up to ~1.2e3 points on
+    CPU) and tests/test_pallas_tpu.py::test_msm_pippenger_tpu
+    (analytic P_i = a_i*G oracle at 2^10..2^20 points on hardware —
+    the reference's ecmult_multi_var is library-static, so large-scale
+    parity uses oracles with known discrete logs instead)."""
     ks = S.normalize(ks)        # digit decomposition needs canonical k
     N = ks.v.shape[0]
     if c is None:
@@ -359,9 +360,14 @@ def msm_pippenger(ks: LB, pts: G.GE, c: int | None = None) -> G.GEJ:
 def ecmult_multi(ks: LB, pts: G.GE) -> G.GEJ:
     """Size-dispatched MSM (counterpart of ecmult_multi_var's algorithm
     selection, ecmult_impl.h:823-867)."""
+    from ..config import config
     n = ks.v.shape[0]
     if n <= 32:
         return msm_simple(ks, pts)
-    if n <= 1024:
+    if n <= max(config().pippenger_threshold, 1024):
+        # shared-doubling windows beat buckets while 3*2^c doublings
+        # dominate 2N adds; the reference's 88-point crossover
+        # (ecmult_impl.h:55) shifts right on TPU because bucket
+        # scatter costs a sort, not a pointer write.
         return msm_windowed(ks, pts)
     return msm_pippenger(ks, pts)

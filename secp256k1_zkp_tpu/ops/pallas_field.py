@@ -34,7 +34,11 @@ def auto_tb(B: int, cap: int = 2048) -> int:
 
     Wide blocks matter: each elementwise op then spans several vregs,
     giving the VPU independent instructions to hide op latency (a lone
-    [512] stream leaves it ~3x idle — measured on the mulmod chain)."""
+    [512] stream leaves it ~3x idle — measured on the mulmod chain).
+    config().tb (SECP_TPU_TB) overrides for tuning sweeps."""
+    from ..config import config
+    if config().tb:
+        return config().tb
     tb = 256
     while tb < cap and tb < B:
         tb *= 2

@@ -90,8 +90,18 @@ def gen_digits(k_t):
     return jnp.stack(rows, axis=0)
 
 
-def _gen_kernel(d_ref, ox_ref, oy_ref, oz_ref):
-    """k*G from digit rows; 13 windows x (5 dbl + 4 const adds)."""
+def _gen_kernel(*refs, blinded=False):
+    """k*G from digit rows; 13 windows x (5 dbl + 4 const adds).
+
+    With ``blinded`` the kernel takes two extra input refs carrying the
+    affine blinding point gb = -b*G and ends with one mixed add — the
+    point-offset half of the reference's ecmult_gen blinding
+    (src/ecmult_gen_impl.h:285-339); the scalar offset k' = k + b mod n
+    is applied by the caller before digit recoding."""
+    if blinded:
+        d_ref, bx_ref, by_ref, ox_ref, oy_ref, oz_ref = refs
+    else:
+        d_ref, ox_ref, oy_ref, oz_ref = refs
     tabs = _gen_tables_int()
     tb = d_ref[0, :]
 
@@ -110,6 +120,10 @@ def _gen_kernel(d_ref, ox_ref, oy_ref, oz_ref):
 
     out = jax.lax.fori_loop(0, NWQ, window, _jp_flat(jp_inf(tb)))
     acc = _jp_unflat(out)
+    if blinded:
+        gbx = FE([bx_ref[i, :] for i in range(LIMBS)], MASK16)
+        gby = FE([by_ref[i, :] for i in range(LIMBS)], MASK16)
+        acc = jp_add_aff(acc, gbx, gby, jnp.zeros_like(tb))
     # k in [1, n-1] means the result is never infinity; z = 0 would only
     # arise from inf lanes, which the caller masks via its own ok flags.
     z = fe_select(acc.inf != 0, fe_zero(tb), fe_weak(acc.z))
@@ -119,18 +133,18 @@ def _gen_kernel(d_ref, ox_ref, oy_ref, oz_ref):
         oz_ref[i, :] = z.l[i]
 
 
-@lru_cache(maxsize=4)
-def _gen_call(tb: int):
+@lru_cache(maxsize=8)
+def _gen_call(tb: int, blinded: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     @jax.jit
-    def run(digs):
+    def run(digs, *gb):
         B = digs.shape[-1]
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            _gen_kernel,
+            partial(_gen_kernel, blinded=blinded),
             out_shape=(
                 jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
                 jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
@@ -138,22 +152,41 @@ def _gen_call(tb: int):
             ),
             grid=(B // tb,),
             in_specs=[pl.BlockSpec((NQ * NWQ, tb), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)],
+                                   memory_space=pltpu.VMEM)]
+            + ([spec16, spec16] if blinded else []),
             out_specs=(spec16, spec16, spec16),
-        )(digs)
+        )(digs, *gb)
 
     return run
 
 
-def ecmult_gen_tpu(k_t, tb: int | None = None):
+def ecmult_gen_tpu(k_t, tb: int | None = None, blind=None):
     """k*G on a canonical limb-major [16, B] scalar.
 
     Returns jacobian (x, y, z) [16, B] weak limbs; z == 0 marks the
-    (cryptographically unreachable for valid k) infinity lanes."""
+    (cryptographically unreachable for valid k) infinity lanes.
+
+    ``blind`` is the context's generator-blinding state
+    ``(b_limbs, gbx, gby)`` — a scalar offset b (16 int limbs) and the
+    affine point gb = -b*G (two [16] uint32 limb arrays).  The kernel
+    then computes (k + b)*G + (-b)*G == k*G with no intermediate that
+    equals k*G's addition chain — the scalar-offset + point-offset
+    blinding of src/ecmult_gen_impl.h:285-339 (the projective-rescale
+    third is meaningless here: fixed dataflow, no divisions vary)."""
     if tb is None:
         tb = auto_tb(k_t.shape[-1])
-    digs = gen_digits([k_t[i] for i in range(LIMBS)])
-    return _gen_call(tb)(digs)
+    rows = [k_t[i] for i in range(LIMBS)]
+    if blind is None:
+        return _gen_call(tb)(gen_digits(rows))
+    b_limbs, gbx, gby = blind
+    rows = _add_mod_n(rows, [jnp.full_like(rows[0], int(c))
+                             for c in b_limbs])
+    B = k_t.shape[-1]
+    bx = jnp.broadcast_to(
+        jnp.asarray(np.asarray(gbx, np.uint32))[:, None], (LIMBS, B))
+    by = jnp.broadcast_to(
+        jnp.asarray(np.asarray(gby, np.uint32))[:, None], (LIMBS, B))
+    return _gen_call(tb, True)(gen_digits(rows), bx, by)
 
 
 # ---------------------------------------------------------------------------

@@ -81,14 +81,13 @@ def _compress_scan(state, block):
     return state + out
 
 
-_UNROLL = bool(int(__import__("os").environ.get("SECP_TPU_UNROLL_SHA", "0")))
-
-
 def compress(state, block):
     """One SHA-256 compression: state [..., 8], block [..., 16] -> [..., 8]
     (cf. sha256_transform, src/hash_impl.h:51-138).  Rolled by default
-    (compile-size); set SECP_TPU_UNROLL_SHA=1 for the unrolled body."""
-    if _UNROLL:
+    (compile-size); config sha_unroll (SECP_TPU_UNROLL_SHA=1) selects
+    the unrolled 64-round body."""
+    from ..config import config
+    if config().sha_unroll:
         return _compress_unrolled(state, block)
     return _compress_scan(state, block)
 

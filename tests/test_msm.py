@@ -106,3 +106,21 @@ def test_tree_reduce_with_infinities(rng):
     ge = mk_ge(pts)
     total = jax.jit(lambda p: msm._tree_reduce(G.gej_from_ge(p)))(ge)
     check(total, expect)
+
+
+@__import__("pytest").mark.slow
+def test_msm_pippenger_above_dispatch_threshold(rng):
+    """1250 points — above the windowed->Pippenger crossover, so this
+    exercises the real bucketed engine through ecmult_multi dispatch
+    (the scale tier; TPU runs 2^10..2^20 in test_pallas_tpu.py)."""
+    n = 1250
+    a = [int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+         for _ in range(n)]
+    ks = [int.from_bytes(rng.bytes(32), "big") % oracle.N
+          for _ in range(n)]
+    ks[7] = 0
+    pts = [oracle.point_mul(ai, oracle.G) for ai in a]
+    expect = oracle.point_mul(
+        sum(k * ai for k, ai in zip(ks, a)) % oracle.N, oracle.G)
+    total = jax.jit(msm.ecmult_multi)(mk_lb(ks), mk_ge(pts))
+    check(total, expect)

@@ -233,3 +233,54 @@ def test_lift_x_and_affine_meta(rng):
             for l in range(16):
                 got |= int(y[l, i]) << (16 * l)
             assert got == yy, i
+
+
+def test_ecmult_gen_blinded(rng):
+    """Blinded fixed-base multiply ((k+b)*G + (-b)*G) must equal the
+    unblinded k*G for every lane — ecmult_gen_impl.h:285-339 semantics:
+    blinding changes the addition chain, never the result."""
+    from secp256k1_zkp_tpu.context import Context
+    from secp256k1_zkp_tpu.ops import pallas_gen as PGEN
+
+    ctx = Context().randomize(b"\x42" * 32)
+    assert ctx.blind is not None
+    k_int = [int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+             for _ in range(B)]
+    # include the k = n - b edge (k + b == 0 mod n -> result is gb)
+    b_int = sum(int(c) << (16 * i) for i, c in enumerate(ctx.blind[0]))
+    k_int[3] = hostcurve.N - b_int
+    arr = np.zeros((16, B), np.uint32)
+    for j, v in enumerate(k_int):
+        for i in range(16):
+            arr[i, j] = (v >> (16 * i)) & 0xFFFF
+    k_t = jnp.asarray(arr)
+    xb, yb, zb = PGEN.ecmult_gen_tpu(k_t, blind=ctx.blind)
+    xab, yab = np.asarray(PGEN.affine_xy_tpu(xb, yb, zb)[0]), None
+    x0, y0, z0 = PGEN.ecmult_gen_tpu(k_t)
+    xa0 = np.asarray(PGEN.affine_xy_tpu(x0, y0, z0)[0])
+    assert (xab == xa0).all()
+
+
+def test_sign_tpu_blinded_matches(rng):
+    """ctx.randomize must not change any signature bit."""
+    from secp256k1_zkp_tpu.context import Context
+    from secp256k1_zkp_tpu.modules import ecdsa, schnorrsig
+
+    ctx = Context().randomize(rng.bytes(32))
+    msgs = np.frombuffer(rng.bytes(B * 32), np.uint8).reshape(B, 32).copy()
+    secs = np.frombuffer(rng.bytes(B * 32), np.uint8).reshape(B, 32).copy()
+    secs[:, 0] &= 0x7F
+    msgs_j, secs_j = jnp.asarray(msgs), jnp.asarray(secs)
+
+    sig0, rec0, ok0 = jax.block_until_ready(ecdsa.sign_tpu(msgs_j, secs_j))
+    sig1, rec1, ok1 = jax.block_until_ready(
+        ecdsa.sign_tpu(msgs_j, secs_j, blind=ctx.blind))
+    assert (np.asarray(sig0) == np.asarray(sig1)).all()
+    assert (np.asarray(rec0) == np.asarray(rec1)).all()
+    assert (np.asarray(ok0) == np.asarray(ok1)).all()
+
+    ss0, sok0 = jax.block_until_ready(schnorrsig.sign_tpu(msgs_j, secs_j))
+    ss1, sok1 = jax.block_until_ready(
+        schnorrsig.sign_tpu(msgs_j, secs_j, blind=ctx.blind))
+    assert (np.asarray(ss0) == np.asarray(ss1)).all()
+    assert (np.asarray(sok0) == np.asarray(sok1)).all()
