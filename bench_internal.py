@@ -56,9 +56,15 @@ def main():
         def run(x):
             return jax.lax.fori_loop(0, REPS, lambda _, c: fn(c), x)
 
-        jax.block_until_ready(run(x))  # compile + warm
+        def fence(out):
+            # np.asarray of one leaf: the only real fence over the
+            # tunnel (docs/PERF.md "Measurement discipline")
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf)
+
+        fence(run(x))  # compile + warm
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        fence(run(x))
         dt = time.perf_counter() - t0
         n_ops = B * REPS
         print(f"{name},{dt / n_ops * 1e6:.5f},{n_ops / dt / 1e6:.2f}",

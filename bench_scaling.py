@@ -85,12 +85,12 @@ def main():
                    LB(jax.device_put(jnp.asarray(py), shard), MASK16),
                    jax.device_put(jnp.zeros(npts, bool), shard))
         fn = jax.jit(lambda k, p, m=mesh: msm_sharded(m, k, p))
-        jax.block_until_ready(fn(ks, pts))  # compile + warm
+        np.asarray(fn(ks, pts).x.v)  # compile + warm (true fence)
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(ks, pts)
-        jax.block_until_ready(out)
+        np.asarray(out.x.v)
         dt = (time.perf_counter() - t0) / reps
         times[nd] = dt
         print(json.dumps({
