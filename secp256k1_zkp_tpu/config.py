@@ -37,6 +37,12 @@ class Config:
     # Strauss -> Pippenger crossover for ecmult_multi
     # (ECMULT_PIPPENGER_THRESHOLD analog, src/ecmult_impl.h:55).
     pippenger_threshold: int = 88
+    # Window width for the portable jnp engines (ops/ecmult.py).  The
+    # default 4 is the throughput shape; 1 shrinks every scan body to
+    # one double + add, which cuts XLA:CPU's per-op compile cost ~4x —
+    # the multichip dryrun and 1-core CI set SECP_TPU_JNP_WINDOW=1
+    # (correctness-only runs; identical dataflow, shorter trace).
+    jnp_window: int = 4
 
     def pallas_enabled(self) -> bool:
         """Resolve the dispatch tri-state against the live backend."""
@@ -53,6 +59,7 @@ def _from_env() -> Config:
                     else None),
         sha_unroll=bool(int(os.environ.get("SECP_TPU_UNROLL_SHA", "0"))),
         tb=int(tb) if tb else None,
+        jnp_window=int(os.environ.get("SECP_TPU_JNP_WINDOW", "4")),
     )
 
 

@@ -71,10 +71,37 @@ class Context:
     state (``blind`` — None until :meth:`randomize` is called, matching
     the reference's unblinded static context, src/secp256k1.c:90-98)."""
 
-    def __init__(self, window: int = ecmult.WINDOW):
+    def __init__(self, window: int = ecmult.WINDOW, hash_compress=None):
         selftest()
+        if hash_compress is not None:
+            self.set_hash_compress(hash_compress)
         self.gen_table = ecmult.GenTable(window)
         self.blind = None
+
+    @staticmethod
+    def set_hash_compress(fn) -> None:
+        """Install a custom SHA256 compression function for every hash
+        path in the library and validate it with the device KAT —
+        the per-context compression hook of the fork
+        (include/secp256k1.h:420-446, src/secp256k1.c:247-261), with
+        the selftest gate of src/selftest.h:14-34.  Pass None to
+        restore the builtin.  Trace-time configuration: install before
+        jitting (cached executables keep whichever hook they traced)."""
+        from .ops import sha256 as H
+        prev = H.set_compress(fn)
+        if fn is None:
+            return
+        try:
+            import numpy as np
+            got = np.asarray(H.words_to_bytes32(H.sha256_bytes(
+                np.frombuffer(b"\x61" * 32, np.uint8)[None, :])))[0]
+            want = hashlib.sha256(b"\x61" * 32).digest()
+            if bytes(got) != want:
+                raise RuntimeError(
+                    "custom SHA256 compression failed the selftest KAT")
+        except Exception:
+            H.set_compress(prev)
+            raise
 
     def randomize(self, seed32: bytes | None = None) -> "Context":
         """Re-derive the ecmult_gen blinding from seed32

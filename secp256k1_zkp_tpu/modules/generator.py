@@ -175,9 +175,11 @@ def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
     b_t = _pad_to(jnp.transpose(b.v), tb)
     v_t = _pad_to(jnp.transpose(v.v), tb)
     Bp = b_t.shape[-1]
+    # u2 = v rides the a1 stream (v < 2^128 needs no lambda split); the
+    # blind b*G rides the u1 streams.
     digs = jnp.concatenate(
-        [_digits_rows_w5(b_t, 0, 8), _digits_rows_w5(b_t, 8, 16),
-         _digits_rows_w5(v_t, 0, 8), jnp.zeros((26, Bp), jnp.uint32)],
+        [_digits_rows_w5(v_t, 0, 8), jnp.zeros((26, Bp), jnp.uint32),
+         _digits_rows_w5(b_t, 0, 8), _digits_rows_w5(b_t, 8, 16)],
         axis=0)
     flags = jnp.zeros((2, Bp), jnp.uint32)
     gx = _pad_to(jnp.transpose(F.normalize(gen.x).v), tb)

@@ -208,6 +208,8 @@ def _digits_rows_w5(t, lo, hi):
     return jnp.stack(recode_w5([t[i] for i in range(lo, hi)]), axis=0)
 
 
+
+
 def keypair_xonly_tpu(sec32, tb: int | None = None, blind=None):
     """TPU keypair: d*G via the fixed-base kernel + one affine kernel.
     Returns (d_even LB, px32, parity, ok) — the kernel-path subset of
@@ -305,8 +307,8 @@ def verify_tpu(msg32, sig64, px32, tb: int | None = None):
 
     s_t = _pad_to(jnp.transpose(s.v), tb)
     digs = jnp.concatenate(
-        [_digits_rows_w5(s_t, 0, 8), _digits_rows_w5(s_t, 8, 16),
-         edigs], axis=0)
+        [edigs, _digits_rows_w5(s_t, 0, 8), _digits_rows_w5(s_t, 8, 16)],
+        axis=0)
 
     Bp = pkx_t.shape[-1]
     pinf = jnp.zeros((Bp,), bool)

@@ -37,6 +37,13 @@ NWIN = 256 // WINDOW  # 64
 TSIZE = 1 << WINDOW   # 16
 
 
+def _window() -> int:
+    """Active window width for the portable engines (config override:
+    SECP_TPU_JNP_WINDOW; 1 = compile-small correctness shape)."""
+    from ..config import config
+    return config().jnp_window
+
+
 # ---------------------------------------------------------------------------
 # Fixed-base table (device-resident; analogue of precomputed_ecmult_gen.c)
 # ---------------------------------------------------------------------------
@@ -90,15 +97,18 @@ def default_gen_table() -> GenTable:
     return GenTable()
 
 
-def scalar_digits(k: LB, window: int = WINDOW):
-    """Canonical scalar -> [..., NWIN] int32 window digits (LSB-first)."""
+def scalar_digits(k: LB, window: int | None = None):
+    """Canonical scalar -> [..., 256/window] int32 digits (LSB-first)."""
     assert k.bound <= MASK16
+    if window is None:
+        window = _window()
+    assert 16 % window == 0
     per = 16 // window
     digs = []
     for i in range(LIMBS):
         limb = k.v[..., i].astype(jnp.int32)
         for j in range(per):
-            digs.append((limb >> (window * j)) & (TSIZE - 1))
+            digs.append((limb >> (window * j)) & ((1 << window) - 1))
     return jnp.stack(digs, axis=-1)
 
 
@@ -107,9 +117,10 @@ def ecmult_gen(k: LB, table: GenTable | None = None) -> G.GEJ:
 
     k must be canonical (< n).  Cost: 64 gathers + 64 complete adds,
     no doublings (cf. ecmult_gen comb loop, src/ecmult_gen_impl.h:54)."""
-    table = table or default_gen_table()
+    if table is None:
+        table = GenTable(_window())
     k = S.FN.norm_weak(k) if k.bound > MASK16 else k
-    digits = scalar_digits(k)  # [..., 64]
+    digits = scalar_digits(k, table.window)  # [..., 256/window]
     batch = k.batch_shape
     acc0 = G.gej_infinity(batch)
 
@@ -123,39 +134,53 @@ def ecmult_gen(k: LB, table: GenTable | None = None) -> G.GEJ:
     return acc
 
 
-def _pt_table(p: G.GE):
-    """Per-lane table of 0..15 multiples of p: ([16, ..., 16limbs] x2,
-    [16, ...] inf).  Entries 3..15 accumulate in a scan (one add body
-    instead of 13 inlined adds — compile-size), then one shared
+def _pt_table(p: G.GE, window: int | None = None):
+    """Per-lane table of 0..2^w-1 multiples of p: ([T, ..., 16limbs] x2,
+    [T, ...] inf).  Entries 3.. accumulate in a scan (one add body
+    instead of inlined adds — compile-size), then one shared
     batch-affine conversion."""
+    if window is None:
+        window = _window()
+    tsize = 1 << window
+    if tsize == 2:
+        # {inf, P}: P is already affine — no batch conversion needed
+        # (the compile-small window=1 shape; every traced subgraph
+        # counts on XLA:CPU, see config.jnp_window).
+        inf0 = G.gej_infinity(p.batch_shape)
+        zx = jnp.stack([jnp.zeros_like(p.x.v), F.FP.norm_if_needed(p.x).v])
+        zy = jnp.stack([jnp.zeros_like(p.y.v), F.FP.norm_if_needed(p.y).v])
+        return zx, zy, jnp.stack([jnp.ones_like(p.inf), p.inf])
     inf0 = G.gej_infinity(p.batch_shape)
     j1 = G.gej_from_ge(p)
-    j2 = G.gej_double(j1)
+    j1n = (F.FP.norm_if_needed(j1.x).v, F.FP.norm_if_needed(j1.y).v,
+           F.FP.norm_if_needed(j1.z).v, j1.inf)
+    heads = [(inf0.x.v, inf0.y.v, inf0.z.v, inf0.inf), j1n]
+    tail = None
+    if tsize > 2:
+        j2 = G.gej_double(j1)
+        j2n = (F.FP.norm_if_needed(j2.x).v, F.FP.norm_if_needed(j2.y).v,
+               F.FP.norm_if_needed(j2.z).v, j2.inf)
+        heads.append(j2n)
+        if tsize > 3:
+            def body(carry, _):
+                prev = G.GEJ(LB(carry[0], MASK16), LB(carry[1], MASK16),
+                             LB(carry[2], MASK16), carry[3])
+                nxt = G.gej_add_ge(prev, p)
+                out = (F.FP.norm_if_needed(nxt.x).v,
+                       F.FP.norm_if_needed(nxt.y).v,
+                       F.FP.norm_if_needed(nxt.z).v, nxt.inf)
+                return out, out
 
-    def body(carry, _):
-        prev = G.GEJ(LB(carry[0], MASK16), LB(carry[1], MASK16),
-                     LB(carry[2], MASK16), carry[3])
-        nxt = G.gej_add_ge(prev, p)
-        out = (F.FP.norm_if_needed(nxt.x).v, F.FP.norm_if_needed(nxt.y).v,
-               F.FP.norm_if_needed(nxt.z).v, nxt.inf)
-        return out, out
+            _, tail = jax.lax.scan(body, j2n, None, length=tsize - 3)
 
-    j2n = (F.FP.norm_if_needed(j2.x).v, F.FP.norm_if_needed(j2.y).v,
-           F.FP.norm_if_needed(j2.z).v, j2.inf)
-    _, (tx, ty, tz, tinf) = jax.lax.scan(body, j2n, None,
-                                         length=TSIZE - 3)
+    def stackall(idx):
+        hs = [h[idx][None] for h in heads]
+        if tail is not None:
+            hs.append(tail[idx])
+        return jnp.concatenate(hs, axis=0)
 
-    def stack3(a, b, c, tail):
-        return jnp.concatenate([a[None], b[None], c[None], tail], axis=0)
-
-    all_j = G.GEJ(
-        LB(stack3(inf0.x.v, F.FP.norm_if_needed(j1.x).v, j2n[0], tx),
-           MASK16),
-        LB(stack3(inf0.y.v, F.FP.norm_if_needed(j1.y).v, j2n[1], ty),
-           MASK16),
-        LB(stack3(inf0.z.v, F.FP.norm_if_needed(j1.z).v, j2n[2], tz),
-           MASK16),
-        stack3(inf0.inf, j1.inf, j2n[3], tinf))
+    all_j = G.GEJ(LB(stackall(0), MASK16), LB(stackall(1), MASK16),
+                  LB(stackall(2), MASK16), stackall(3))
     aff = G.ge_from_gej_batch(all_j, axis=0)
     return aff.x.v, aff.y.v, aff.inf
 
@@ -163,14 +188,15 @@ def _pt_table(p: G.GE):
 def ecmult_const(k: LB, p: G.GE) -> G.GEJ:
     """k*P for a variable per-lane base point (cf. ecmult_const,
     src/ecmult_const_impl.h:122).  Fixed uniform windows MSB-first."""
+    window = _window()
     k = S.FN.norm_weak(k) if k.bound > MASK16 else k
-    tx, ty, tinf = _pt_table(p)
-    digits = scalar_digits(k)  # [..., 64] LSB-first
+    tx, ty, tinf = _pt_table(p, window)
+    digits = scalar_digits(k, window)  # LSB-first
     digs = jnp.moveaxis(digits, -1, 0)[::-1]  # MSB-first
     acc0 = G.gej_infinity(k.batch_shape)
 
     def body(acc, d):
-        acc = G.gej_double_n(acc, WINDOW)
+        acc = G.gej_double_n(acc, window)
         pt = G.ge_gather(tx, ty, tinf, d)
         return G.gej_add_ge(acc, pt), None
 
@@ -216,12 +242,14 @@ def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
     src/ecmult_impl.h:365).  Shares one doubling chain between both
     scalars; G windows gather from the fixed table, P windows from a
     per-lane table."""
-    table = table or default_gen_table()
+    if table is None:
+        table = GenTable(_window())
+    window = table.window
     u1 = S.FN.norm_weak(u1) if u1.bound > MASK16 else u1
     u2 = S.FN.norm_weak(u2) if u2.bound > MASK16 else u2
-    tx, ty, tinf = _pt_table(p)
-    d1 = jnp.moveaxis(scalar_digits(u1), -1, 0)[::-1]  # MSB-first
-    d2 = jnp.moveaxis(scalar_digits(u2), -1, 0)[::-1]
+    tx, ty, tinf = _pt_table(p, window)
+    d1 = jnp.moveaxis(scalar_digits(u1, window), -1, 0)[::-1]  # MSB-first
+    d2 = jnp.moveaxis(scalar_digits(u2, window), -1, 0)[::-1]
     # With a shared MSB-first doubling chain every G window adds a plain
     # multiple of G — i.e. row 0 of the fixed-base table.
     gtx, gty, gtinf = table.tx[0], table.ty[0], table.tinf[0]
@@ -229,7 +257,7 @@ def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
 
     def body(acc, xs):
         dg, dp = xs
-        acc = G.gej_double_n(acc, WINDOW)
+        acc = G.gej_double_n(acc, window)
         acc = G.gej_add_ge(acc, G.ge_gather(gtx, gty, gtinf, dg))
         acc = G.gej_add_ge(acc, G.ge_gather(tx, ty, tinf, dp))
         return acc, None

@@ -434,26 +434,33 @@ class Mod:
             return self.one(x.batch_shape)
         x = self.norm_if_needed(x)
 
-        # Precompute x^0..x^15 with a scan (one mul body instead of 14
-        # inlined muls — compile-size matters on 256-bit limb code).
+        # Window width: 4 normally; 2 under the compile-small config
+        # (jnp_window=1): XLA:CPU codegen cost grows superlinearly in
+        # scan-body size, so halving the body beats halving the length.
+        from ..config import config
+        w = 4 if config().jnp_window > 1 else 2
+        tsz = 1 << w
+
+        # Precompute x^0..x^(2^w - 1) with a scan (one mul body instead
+        # of inlined muls — compile-size matters on 256-bit limb code).
         def tab_body(prev, _):
             nxt = self.mul(LB(prev, MASK16), x)
             return nxt.v, nxt.v
 
         _, tail = jax.lax.scan(tab_body, self.one(x.batch_shape).v,
-                               None, length=15)
+                               None, length=tsz - 1)
         table = jnp.concatenate(
-            [self.one(x.batch_shape).v[None], tail], axis=0)  # [16, ..., 16]
-        ndig = (e.bit_length() + 3) // 4
+            [self.one(x.batch_shape).v[None], tail], axis=0)
+        ndig = (e.bit_length() + w - 1) // w
         digits = jnp.asarray(
-            np.array([(e >> (4 * i)) & 0xF for i in reversed(range(ndig))],
-                     dtype=np.int32))
+            np.array([(e >> (w * i)) & (tsz - 1)
+                      for i in reversed(range(ndig))], dtype=np.int32))
 
         def body(acc, d):
-            # 4 squarings via fori_loop: one sqr body in the trace
+            # w squarings via fori_loop: one sqr body in the trace
             # (compile-size; mul/sqr outputs are already MASK16-bounded)
             acc = jax.lax.fori_loop(
-                0, 4, lambda _, v: self.sqr(LB(v, MASK16)).v, acc)
+                0, w, lambda _, v: self.sqr(LB(v, MASK16)).v, acc)
             m = LB(jax.lax.dynamic_index_in_dim(table, d, 0, keepdims=False),
                    MASK16)
             return self.mul(LB(acc, MASK16), m).v, None

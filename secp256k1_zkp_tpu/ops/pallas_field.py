@@ -28,14 +28,17 @@ LIMBS = 16
 MASK16 = 0xFFFF  # python ints weak-type into uint32 ops without capture
 
 
-def auto_tb(B: int, cap: int = 2048) -> int:
+def auto_tb(B: int, cap: int = 4096) -> int:
     """Block width for a batch of B lanes (callers pad B up to a
     multiple of the result).
 
     Wide blocks matter: each elementwise op then spans several vregs,
     giving the VPU independent instructions to hide op latency (a lone
     [512] stream leaves it ~3x idle — measured on the mulmod chain).
-    config().tb (SECP_TPU_TB) overrides for tuning sweeps."""
+    Cap 4096: with the GLV kernel's pairs=2 unroll-and-jam (two
+    independent 2048-lane pipelines per block) this is the round-3
+    sweep optimum on v5e — see docs/PERF.md for the full tb x pairs
+    matrix.  config().tb (SECP_TPU_TB) overrides for tuning sweeps."""
     from ..config import config
     if config().tb:
         return config().tb

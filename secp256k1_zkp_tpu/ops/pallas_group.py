@@ -1,9 +1,10 @@
 """Pallas TPU kernel for the verify engine: R = u1*G + u2*P, fused.
 
-The entire double-scalar multiplication — per-lane P odd-multiple table
-build, 64 fixed 4-bit windows of (4 doublings + P-add + G-add), complete
-branchless group formulas — runs as ONE Mosaic kernel.  Field elements
-are **limb-major**: sixteen [TB]-wide uint32 vectors with the batch on
+The entire GLV double-scalar multiplication — per-lane P table build,
+divsteps affine normalization, 26 signed-w5 windows of (5 doublings +
+4 mixed adds), complete branchless group formulas, the ECDSA x(R)===r
+epilogue — runs as ONE Mosaic kernel.  Field elements are
+**limb-major**: sixteen [TB]-wide uint32 vectors with the batch on
 the VPU lanes and limb indices unrolled in the instruction stream, so
 there are no cross-lane shuffles anywhere (the jnp path's column sums
 pay lane-crossing pad/reshapes per multiply; see ops/pallas_field.py).
@@ -116,6 +117,24 @@ def fe_select(mask, a: FE, b: FE) -> FE:
               max(a.bound, b.bound))
 
 
+def fe_half(a: FE) -> FE:
+    """a/2 mod p: (a + p*(a&1)) >> 1, exact (cf. fe_half,
+    src/field.h:331-341; the +p carry-out becomes the result's top
+    bit)."""
+    a = fe_weak(a)
+    odd = a.l[0] & 1
+    t = [a.l[i] + jnp.uint32(pl_) * odd for i, pl_ in enumerate(_P_LIMBS)]
+    out = []
+    carry = None
+    for i in range(LIMBS):
+        s = t[i] if carry is None else t[i] + carry
+        out.append(s & MASK16)
+        carry = s >> 16
+    res = [(out[i] >> 1) | ((out[i + 1] & 1) << 15) for i in range(LIMBS - 1)]
+    res.append((out[LIMBS - 1] >> 1) | (carry << 15))
+    return FE(res, MASK16)
+
+
 def fe_is_zero(a: FE):
     """Canonical zero test: normalize fully then OR-compare."""
     a = fe_weak(a)
@@ -181,24 +200,44 @@ def jp_double(a: JP) -> JP:
 
 
 def _jp_add_core(U1, S1, U2, S2, Zmul, a: JP, bx, by, b_inf):
-    """Mirror of ops/group.py _add_core (complete addition)."""
-    T = fe_weak(fe_add(U1, U2))
-    M = fe_weak(fe_add(S1, S2))
-    Rn = fe_sub(fe_sqr(T), fe_mul(U1, U2))
-    Rd = fe_sub(S1, S2)
-    Md = fe_sub(U1, U2)
-    deg = fe_is_zero(M)
-    n = fe_select(deg, fe_weak(Rd), fe_weak(Rn))
-    m = fe_select(deg, fe_weak(Md), M)
-    inf3 = deg & fe_is_zero(Md)
+    """Complete addition from precomputed U/S pairs: the Brier–Joye
+    unified formula with the degenerate-case (y1 = -y2, x1 != x2)
+    cmov path, exactly the 7M+5S shape of the reference's gej_add_ge
+    (src/group_impl.h:731-867) — ~3 muls cheaper per add than the
+    naive lambda-cubing layout this replaced.
 
-    m2 = fe_sqr(m)
-    m3 = fe_mul(m2, m)
-    n2 = fe_sqr(n)
-    X3 = fe_weak(fe_sub(n2, fe_mul(T, m2)))
-    Y3 = fe_weak(fe_sub(fe_mul(n, fe_sub(fe_mul(U1, m2), X3)),
-                        fe_mul(S1, m3)))
-    Z3 = fe_mul(Zmul, m)
+    U1/S1/U2/S2 weak (<= 0xFFFF limbs); returns jacobian + inf mask."""
+    T = fe_add(U1, U2)                       # T = U1+U2, bound 2*M16
+    M = fe_add(S1, S2)                       # M = S1+S2, bound 2*M16
+    rr = fe_sqr(T)                           # T^2
+    m_alt = fe_neg(U2)                       # -U2, bound ~2*M16
+    tt = fe_mul(U1, m_alt)                   # -U1*U2
+    rr = fe_add(rr, tt)                      # R = T^2 - U1*U2
+    deg = fe_is_zero(M)
+    # If lambda = R/M degenerates (M == 0 but x1 != x2), the equal-
+    # where-both-defined slope (S1-S2)/(U1-U2) = 2*S1/(U1-U2) is used.
+    rr_alt = fe_mul_int(S1, 2)
+    m_alt = fe_add(m_alt, U1)                # U1 - U2
+    rr_f = fe_select(deg, rr_alt, fe_weak(rr))
+    m_f = fe_select(deg, fe_weak(m_alt), fe_weak(M))
+    n = fe_sqr(m_f)                          # Malt^2
+    q = fe_mul(fe_neg(T), n)                 # Q = -T*Malt^2
+    n2 = fe_sqr(n)                           # Malt^4
+    # M^3*Malt is Malt^4 when not degenerate, else M (== 0 mod p).
+    n_f = fe_select(deg, fe_weak(M), n2)
+    t2 = fe_sqr(rr_f)                        # Ralt^2
+    Z3 = fe_mul(Zmul, m_f)
+    X3 = fe_add(t2, q)                       # X3 = Ralt^2 + Q (2*M16)
+    t3 = fe_add(fe_mul_int(X3, 2), q)        # 2*X3 + Q
+    t4 = fe_mul(t3, rr_f)
+    # -(Ralt*(2X3+Q)+M^3*Malt)/2  (a lambda-cubing Y3 with 3 muls in
+    # place of the sqr+half measured 4.5% slower end-to-end — the extra
+    # muls cost more issue slots than the half's serial ripple)
+    Y3 = fe_half(fe_neg(fe_add(t4, n_f)))
+    X3 = fe_weak(X3)
+    # inf: Z3 == 0 covers both a == -b (degenerate, Z3 = (x1-x2)*Z) and
+    # the y1 = -y2 completeness argument (group_impl.h:848-866).
+    inf3 = fe_is_zero(Z3)
 
     one = fe_one(X3.l[0])
     ax, ay, az = fe_weak(a.x), fe_weak(a.y), fe_weak(a.z)
@@ -342,139 +381,8 @@ def _jp_unflat(t):
     return JP(_fe_unflat(t[0]), _fe_unflat(t[1]), _fe_unflat(t[2]), t[3])
 
 
-@lru_cache(maxsize=1)
-def _g_small_limbs():
-    """Python-int limb matrix of d*G for d in 1..15 — baked into the
-    kernel as scalar constants (the analog of precomputed_ecmult.c)."""
-    from ..utils import hostcurve
-    out = {}
-    for d in range(1, 16):
-        x, y = hostcurve.mul(d)
-        out[d] = ([(x >> (16 * i)) & 0xFFFF for i in range(LIMBS)],
-                  [(y >> (16 * i)) & 0xFFFF for i in range(LIMBS)])
-    return out
-
-
-def _ecmult_kernel(d1_ref, d2_ref, px_ref, py_ref, pinf_ref,
-                   ox_ref, oy_ref, oz_ref, oinf_ref):
-    """R = u1*G + u2*P per lane, windows as a fori_loop (compile-size:
-    ONE window body instead of 64 unrolled copies).
-
-    d1/d2: [64, TB] uint32 4-bit window digits, **MSB-first**;
-    px/py: [16, TB]; pinf: [1, TB] uint32 0/1; small G multiples are
-    compile-time constants; outputs jacobian + inf mask (uint32)."""
-    from jax.experimental import pallas as pl
-
-    px = _load_fe(px_ref, 0)
-    py = _load_fe(py_ref, 0)
-    p_inf = pinf_ref[0, :]          # uint32 0/1
-    tb = px.l[0]
-
-    # --- per-lane P table: jacobian 0..15 multiples, built with a
-    # fori_loop over the repeated-add (one add body) -----------------------
-    one = JP(px, py, fe_one(tb), p_inf)
-    two = jp_double(one)
-    tab = [jp_inf(tb), one, two]
-    prev = _jp_flat(two)
-
-    # Entries 3..15 must be Python-level values for the select scan, so
-    # this short chain stays unrolled: 13 mixed adds.
-    for d in range(3, 16):
-        nxt = jp_add_aff(_jp_unflat(prev), px, py, p_inf)
-        tab.append(nxt)
-        prev = _jp_flat(nxt)
-
-    gtab = _g_small_limbs()
-
-    def gather_p(d):
-        acc = tab[0]
-        for e in range(1, 16):
-            acc = jp_select(d == e, tab[e], acc)
-        return acc
-
-    def gather_g_sel(d):
-        gx = fe_zero(tb)
-        gy = fe_zero(tb)
-        for e in range(1, 16):
-            exl, eyl = gtab[e]
-            m = d == e
-            gx = FE([jnp.where(m, jnp.uint32(c), v)
-                     for c, v in zip(exl, gx.l)], MASK16)
-            gy = FE([jnp.where(m, jnp.uint32(c), v)
-                     for c, v in zip(eyl, gy.l)], MASK16)
-        return gx, gy, d == 0
-
-    def window(w, carry):
-        acc = _jp_unflat(carry)
-        for _ in range(4):
-            acc = jp_double(acc)   # doubling infinity is absorbed by inf
-        d2 = d2_ref[w, :]
-        acc = jp_add(acc, gather_p(d2))
-        d1 = d1_ref[w, :]
-        gx, gy, ginf = gather_g_sel(d1)
-        acc = jp_add_aff(acc, gx, gy, ginf.astype(jnp.uint32))
-        return _jp_flat(acc)
-
-    out = jax.lax.fori_loop(0, 64, window, _jp_flat(jp_inf(tb)))
-    acc = _jp_unflat(out)
-    for i in range(LIMBS):
-        ox_ref[i, :] = acc.x.l[i]
-        oy_ref[i, :] = acc.y.l[i]
-        oz_ref[i, :] = acc.z.l[i]
-    oinf_ref[0, :] = acc.inf
-
-
-@lru_cache(maxsize=4)
-def _ecmult_call(tb: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    @jax.jit
-    def run(u1, u2, px, py, pinf):
-        B = u1.shape[-1]
-        grid = (B // tb,)
-
-        def digits_msb(u):
-            # [16, B] limbs -> [64, B] 4-bit digits, MSB-first
-            parts = []
-            for i in range(LIMBS - 1, -1, -1):
-                limb = u[i]
-                for j in (3, 2, 1, 0):
-                    parts.append((limb >> (4 * j)) & 0xF)
-            return jnp.stack(parts, axis=0)
-
-        d1 = digits_msb(u1)
-        d2 = digits_msb(u2)
-        spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
-                              memory_space=pltpu.VMEM)
-        spec64 = pl.BlockSpec((64, tb), lambda i: (0, i),
-                              memory_space=pltpu.VMEM)
-        spec1 = pl.BlockSpec((1, tb), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
-        ox, oy, oz, oinf = pl.pallas_call(
-            _ecmult_kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
-                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
-                jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
-                jax.ShapeDtypeStruct((1, B), jnp.uint32),
-            ),
-            grid=grid,
-            in_specs=[spec64, spec64, spec16, spec16, spec1],
-            out_specs=(spec16, spec16, spec16, spec1),
-        )(d1, d2, px, py, pinf)
-        return ox, oy, oz, oinf
-
-    return run
-
-
-def ecmult_tpu(u1, u2, px, py, pinf, tb: int = 512):
-    """Fused u1*G + u2*P on limb-major [16, B] uint32 tensors.
-
-    Returns (x, y, z [16, B], inf [B] bool) in jacobian form."""
-    ox, oy, oz, oinf = _ecmult_call(tb)(
-        u1, u2, px, py, pinf.astype(jnp.uint32)[None, :])
-    return ox, oy, oz, oinf[0] != 0
+# (The pre-GLV 4-bit dual-scalar kernel that lived here was removed in
+# round 3: ecmult_glv_tpu superseded it on every call path.)
 
 
 # ---------------------------------------------------------------------------
@@ -527,6 +435,14 @@ def _g_tables_int():
     return g, g128
 
 
+# (A round-3 experiment replaced the u1*G stream with an MXU one-hot
+# comb — [64,256]x[256,TB] bf16 matmuls gathering w8 windows from VMEM
+# tables.  Measured on v5e: ~23us per window-block, ~6ms/batch at
+# B=16k, dominated by one-hot materialization + operand relayout, vs
+# ~1us for a 16-entry select-of-immediates chain.  Reverted; see
+# docs/PERF.md "Tried and rejected".)
+
+
 def _add_aff_ratio(ax: FE, ay: FE, az: FE, bx: FE, by: FE):
     """Complete mixed add for the table build (inputs never infinity);
     returns (X3, Y3, Z3, m) where Z3 = az*m — m is the z-ratio the
@@ -536,22 +452,21 @@ def _add_aff_ratio(ax: FE, ay: FE, az: FE, bx: FE, by: FE):
     U2 = fe_mul(bx, ZZ)
     S1 = fe_weak(ay)
     S2 = fe_mul(fe_mul(by, ZZ), az)
-    T = fe_weak(fe_add(U1, U2))
-    M = fe_weak(fe_add(S1, S2))
-    Rn = fe_sub(fe_sqr(T), fe_mul(U1, U2))
-    Rd = fe_sub(S1, S2)
-    Md = fe_sub(U1, U2)
+    T = fe_add(U1, U2)
+    M = fe_add(S1, S2)
+    rr = fe_add(fe_sqr(T), fe_mul(U1, fe_neg(U2)))
     deg = fe_is_zero(M)
-    n_ = fe_select(deg, fe_weak(Rd), fe_weak(Rn))
-    m_ = fe_select(deg, fe_weak(Md), M)
-    m2 = fe_sqr(m_)
-    m3 = fe_mul(m2, m_)
-    n2 = fe_sqr(n_)
-    X3 = fe_weak(fe_sub(n2, fe_mul(T, m2)))
-    Y3 = fe_weak(fe_sub(fe_mul(n_, fe_sub(fe_mul(U1, m2), X3)),
-                        fe_mul(S1, m3)))
-    Z3 = fe_mul(az, m_)
-    return X3, Y3, Z3, m_
+    rr_f = fe_select(deg, fe_mul_int(S1, 2), fe_weak(rr))
+    m_f = fe_select(deg, fe_weak(fe_sub(U1, U2)), fe_weak(M))
+    n = fe_sqr(m_f)
+    q = fe_mul(fe_neg(T), n)
+    n_f = fe_select(deg, fe_weak(M), fe_sqr(n))
+    t2 = fe_sqr(rr_f)
+    Z3 = fe_mul(az, m_f)
+    X3 = fe_add(t2, q)
+    t4 = fe_mul(fe_add(fe_mul_int(X3, 2), q), rr_f)
+    Y3 = fe_half(fe_neg(fe_add(t4, n_f)))
+    return fe_weak(X3), Y3, Z3, m_f
 
 
 def _gather16(xs, ys, d):
@@ -566,61 +481,36 @@ def _gather16(xs, ys, d):
 
 def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
                        ox_ref, oy_ref, oz_ref, oinf_ref, ok_ref,
-                       *, check: bool):
-    px_in = _load_fe(px_ref, 0)
-    py_in = _load_fe(py_ref, 0)
-    p_inf = misc_ref[0, :]                  # uint32 0/1
-    neg1 = misc_ref[1, :]
-    neg2 = misc_ref[2, :]
-    pinf_b = _b(p_inf)
-    tb = px_in.l[0]
+                       *, check: bool, pairs: int):
+    """R = u1*G + u2*P: GLV Strauss, 26 windows x (5 doublings + 4
+    mixed adds): a1*P' and a2*lambda*P' from the per-lane table,
+    u1_lo*G and u1_hi*2^128*G from select-of-immediate constant tables.
 
-    # For infinity lanes substitute G so the table build stays on-curve;
-    # the A-stream adds are masked off below.
-    gx0, gy0 = _g_tables_int()[0][0]
-    px = fe_select(pinf_b, _fe_const(tb, gx0), px_in)
-    py = fe_select(pinf_b, _fe_const(tb, gy0), py_in)
-    # Fold the a1 sign into the table's y; the a2 stream re-flips when
-    # the two half-scalar signs differ.
-    pyc = fe_weak(fe_select(_b(neg1), fe_neg(fe_weak(py)), fe_weak(py)))
-    flip = _b(neg1 ^ neg2)
+    The per-lane P table is built in jacobian with z-ratio tracking,
+    brought to a global Z (ge_table_set_globalz, src/group_impl.h:289),
+    then to TRUE affine with one constant-time divsteps inverse of the
+    global Z — so the G immediates add in the same frame with ZERO
+    per-window scaling (round 2 scaled G entries by ZZ/ZZZ every
+    window: 104 muls; the inverse + table descale costs ~80 mul-eq
+    once).
 
-    # --- P table 1..16, jacobian build with z-ratio tracking ------------
-    one = fe_one(tb)
-    NT = 17
-    X = [None] * NT
-    Y = [None] * NT
-    R = [None] * NT                         # z-ratios: z_d = z_{d-1}*r_d
-    X[1], Y[1] = fe_weak(px), pyc
-    d2 = jp_double(JP(px, pyc, one, jnp.zeros_like(tb)))
-    X[2], Y[2], Z2 = d2.x, d2.y, d2.z
-    R[2] = Z2
-    pz = Z2
-    for d in range(3, NT):
-        X[d], Y[d], pz, R[d] = _add_aff_ratio(X[d - 1], Y[d - 1], pz,
-                                              px, pyc)
-    Zg = pz                                 # global Z = z_16
+    ``pairs`` is unroll-and-jam: the block's lanes are split into
+    ``pairs`` independent column groups whose whole pipelines are
+    interleaved in one instruction stream — same op count, ``pairs``x
+    the independent dependency chains for the VPU scheduler to hide
+    op latency with (the single-chain window loop measures well below
+    the interleaved-chain mulmod rate; docs/PERF.md).
 
-    # --- bring table to global Z (ge_table_set_globalz shape) -----------
-    axs = [None] * NT
-    ays = [None] * NT
-    axs[NT - 1], ays[NT - 1] = fe_weak(X[NT - 1]), fe_weak(Y[NT - 1])
-    acc = None
-    for d in range(NT - 2, 0, -1):
-        acc = R[d + 1] if acc is None else fe_mul(acc, R[d + 1])
-        a2c = fe_sqr(acc)
-        axs[d] = fe_mul(X[d], a2c)
-        ays[d] = fe_mul(Y[d], fe_mul(a2c, acc))
-
-    # --- frame scale for the immediate-constant G tables ----------------
-    # (G tables stay compile-time constants — gathered as select chains
-    # of immediates, then scaled by ZZ/ZZZ per window.  Keeping them out
-    # of VMEM lets tb grow, and wide tb is what feeds the VPU enough
-    # independent vregs to hide op latency.)
-    beta = _cl(_BETA)
-    ZZ = fe_sqr(Zg)
-    ZZZ = fe_mul(ZZ, Zg)
+    A round-3 alternative measured slower and was reverted: an MXU
+    one-hot comb for u1*G (one-hot build + operand relayout ~23us per
+    window-block ~= 6ms/batch at B=16k vs ~1us for the 16-entry
+    select-of-immediates chain)."""
+    NW = 26  # signed 5-bit windows (pallas_scalar.recode_w5)
+    tb_full = px_ref.shape[-1]
+    assert tb_full % pairs == 0
+    hw = tb_full // pairs
     gtab, g128tab = _g_tables_int()
+    beta = _cl(_BETA)
 
     def gather_const(tab, d):
         """Select-of-immediates over a 16-entry (x,y) int-limb table."""
@@ -636,91 +526,158 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
                      for c, v in zip(ey, gy.l)], MASK16)
         return gx, gy
 
-    NW = 26  # signed 5-bit windows (pallas_scalar.recode_w5)
+    def setup(cols):
+        """Per-column-group state: sign-folded P, affine P/lambda-P
+        tables, and the per-window add closure."""
+        px_in = FE([px_ref[i, cols] for i in range(LIMBS)], MASK16)
+        py_in = FE([py_ref[i, cols] for i in range(LIMBS)], MASK16)
+        p_inf = misc_ref[0, cols]           # uint32 0/1
+        neg1 = misc_ref[1, cols]
+        neg2 = misc_ref[2, cols]
+        pinf_b = _b(p_inf)
+        tb = px_in.l[0]
+
+        # For infinity lanes substitute G so the table build stays
+        # on-curve; the P-stream adds are masked off below.
+        gx0, gy0 = gtab[0]
+        px = fe_select(pinf_b, _fe_const(tb, gx0), px_in)
+        py = fe_select(pinf_b, _fe_const(tb, gy0), py_in)
+        # Fold the a1 sign into the table's y; the a2 stream re-flips
+        # when the two half-scalar signs differ.
+        pyc = fe_weak(fe_select(_b(neg1), fe_neg(fe_weak(py)),
+                                fe_weak(py)))
+        flip = _b(neg1 ^ neg2)
+
+        # --- P table 1..16, jacobian build with z-ratio tracking ----
+        one = fe_one(tb)
+        NT = 17
+        X = [None] * NT
+        Y = [None] * NT
+        R = [None] * NT                     # z-ratios: z_d = z_{d-1}*r_d
+        X[1], Y[1] = fe_weak(px), pyc
+        d2 = jp_double(JP(px, pyc, one, jnp.zeros_like(tb)))
+        X[2], Y[2], Z2 = d2.x, d2.y, d2.z
+        R[2] = Z2
+        pz = Z2
+        for d in range(3, NT):
+            X[d], Y[d], pz, R[d] = _add_aff_ratio(X[d - 1], Y[d - 1],
+                                                  pz, px, pyc)
+        Zg = pz                             # global Z = z_16
+
+        # --- globalz pass + divsteps inverse -> TRUE affine ----------
+        from .pallas_divsteps import inv_limbs16
+        from .pallas_field import _canon_p
+        zi = FE(inv_limbs16(_canon_p(fe_weak(Zg).l), _P), MASK16)
+        zi2 = fe_sqr(zi)
+        zi3 = fe_mul(zi2, zi)
+        axs = [None] * NT
+        ays = [None] * NT
+        axs[NT - 1] = fe_mul(X[NT - 1], zi2)
+        ays[NT - 1] = fe_mul(Y[NT - 1], zi3)
+        acc = None
+        for d in range(NT - 2, 0, -1):
+            acc = R[d + 1] if acc is None else fe_mul(acc, R[d + 1])
+            a2c = fe_sqr(acc)
+            axs[d] = fe_mul(fe_mul(X[d], a2c), zi2)
+            ays[d] = fe_mul(fe_mul(Y[d], fe_mul(a2c, acc)), zi3)
+
+        # lambda*P' table: scale x by beta once (ge_mul_lambda,
+        # src/group_impl.h:925) — 16 muls replace one per window.
+        bxs = [None] + [fe_mul_const(axs[d], beta)
+                        for d in range(1, NT)]
+
+        def win(w, acc):
+            for _ in range(5):
+                acc = jp_double(acc)
+            ea1 = d_ref[w, cols]
+            ea2 = d_ref[NW + w, cols]
+            eglo = d_ref[2 * NW + w, cols]
+            eghi = d_ref[3 * NW + w, cols]
+            # a1 * P'  (signed digit: negate gathered y on sign)
+            mag, sgn = ea1 & 0xFF, ea1 >> 8
+            gx, gy = _gather16(axs, ays, mag)
+            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+            acc = jp_add_aff(acc, gx, gy,
+                             ((mag == 0) | pinf_b).astype(jnp.uint32))
+            # a2 * lambda*P': beta-scaled table; sign xor the
+            # neg2 != neg1 re-flip
+            mag, sgn = ea2 & 0xFF, ea2 >> 8
+            gx, gy = _gather16(bxs, ays, mag)
+            gy = fe_select(flip ^ (sgn != 0), fe_weak(fe_neg(gy)), gy)
+            acc = jp_add_aff(acc, gx, gy,
+                             ((mag == 0) | pinf_b).astype(jnp.uint32))
+            # u1_lo * G and u1_hi * 2^128*G: immediates, same (affine)
+            # frame as the P table — no per-window scaling
+            mag, sgn = eglo & 0xFF, eglo >> 8
+            gx, gy = gather_const(gtab, mag)
+            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+            acc = jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
+            mag, sgn = eghi & 0xFF, eghi >> 8
+            gx, gy = gather_const(g128tab, mag)
+            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+            acc = jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
+            return acc
+
+        return tb, win
+
+    groups = [setup(slice(h * hw, (h + 1) * hw)) for h in range(pairs)]
 
     def window(w, carry):
-        acc = _jp_unflat(carry)
-        for _ in range(5):
-            acc = jp_double(acc)
-        eglo = d_ref[w, :]
-        eghi = d_ref[NW + w, :]
-        ea1 = d_ref[2 * NW + w, :]
-        ea2 = d_ref[3 * NW + w, :]
-        # a1 * P'  (signed digit: negate gathered y on the sign bit)
-        mag, sgn = ea1 & 0xFF, ea1 >> 8
-        gx, gy = _gather16(axs, ays, mag)
-        gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
-        acc = jp_add_aff(acc, gx, gy, ((mag == 0) | pinf_b).astype(jnp.uint32))
-        # a2 * lambda*P': x *= beta on the gathered entry
-        # (ge_mul_lambda, src/group_impl.h:925); sign xor the
-        # neg2 != neg1 re-flip
-        mag, sgn = ea2 & 0xFF, ea2 >> 8
-        gx, gy = _gather16(axs, ays, mag)
-        gx = fe_mul_const(gx, beta)
-        gy = fe_select(flip ^ (sgn != 0), fe_weak(fe_neg(gy)), gy)
-        acc = jp_add_aff(acc, gx, gy, ((mag == 0) | pinf_b).astype(jnp.uint32))
-        # u1_hi * 2^128*G  +  u1_lo * G  (immediates -> frame scale)
-        mag, sgn = eghi & 0xFF, eghi >> 8
-        gx, gy = gather_const(g128tab, mag)
-        gyf = fe_mul(gy, ZZZ)
-        gyf = fe_select(sgn != 0, fe_weak(fe_neg(gyf)), gyf)
-        acc = jp_add_aff(acc, fe_mul(gx, ZZ), gyf,
-                         (mag == 0).astype(jnp.uint32))
-        mag, sgn = eglo & 0xFF, eglo >> 8
-        gx, gy = gather_const(gtab, mag)
-        gyf = fe_mul(gy, ZZZ)
-        gyf = fe_select(sgn != 0, fe_weak(fe_neg(gyf)), gyf)
-        acc = jp_add_aff(acc, fe_mul(gx, ZZ), gyf,
-                         (mag == 0).astype(jnp.uint32))
-        return _jp_flat(acc)
+        return tuple(_jp_flat(win(w, _jp_unflat(c)))
+                     for (tb, win), c in zip(groups, carry))
 
-    out = jax.lax.fori_loop(0, NW, window, _jp_flat(jp_inf(tb)))
-    accp = _jp_unflat(out)
-    # leave the frame: real jacobian z = z_frame * Zg
-    oz = fe_mul(accp.z, Zg)
-    for i in range(LIMBS):
-        ox_ref[i, :] = fe_weak(accp.x).l[i]
-        oy_ref[i, :] = fe_weak(accp.y).l[i]
-        oz_ref[i, :] = oz.l[i]
-    oinf_ref[0, :] = accp.inf
+    out = jax.lax.fori_loop(
+        0, NW, window,
+        tuple(_jp_flat(jp_inf(tb)) for tb, _ in groups))
 
-    if check:
-        # x(R) === r (mod n): inversion-free check with the r+n overflow
-        # candidate gated on r < p - n (src/ecdsa_impl.h:246-268).
-        xr = _load_fe(rx_ref, 0)
-        zz2 = fe_sqr(oz)
-        eq1 = fe_is_zero(fe_sub(fe_mul(xr, zz2), accp.x))
-        # r >= p - n  <=>  r + (2^256 - (p-n)) carries out
-        comp = _cl((1 << 256) - (_P - _N_ORDER))
-        c = None
+    for h, ((tb, _), c) in enumerate(zip(groups, out)):
+        cols = slice(h * hw, (h + 1) * hw)
+        accp = _jp_unflat(c)
+        oz = fe_weak(accp.z)
         for i in range(LIMBS):
-            t = xr.l[i] + comp[i]
-            t = t if c is None else t + c
-            c = t >> 16
-        lt = c == 0
-        xr2 = fe_weak(fe_add(xr, _fe_const(tb, _cl(_N_ORDER))))
-        eq2 = fe_is_zero(fe_sub(fe_mul(xr2, zz2), accp.x))
-        okv = (eq1 | (eq2 & lt)) & (accp.inf == 0)
-        ok_ref[0, :] = okv.astype(jnp.uint32)
-    else:
-        ok_ref[0, :] = jnp.zeros_like(tb)
+            ox_ref[i, cols] = fe_weak(accp.x).l[i]
+            oy_ref[i, cols] = fe_weak(accp.y).l[i]
+            oz_ref[i, cols] = oz.l[i]
+        oinf_ref[0, cols] = accp.inf
+
+        if check:
+            # x(R) === r (mod n): inversion-free check with the r+n
+            # overflow candidate gated on r < p - n
+            # (src/ecdsa_impl.h:246-268).
+            xr = FE([rx_ref[i, cols] for i in range(LIMBS)], MASK16)
+            zz2 = fe_sqr(oz)
+            eq1 = fe_is_zero(fe_sub(fe_mul(xr, zz2), accp.x))
+            # r >= p - n  <=>  r + (2^256 - (p-n)) carries out
+            comp = _cl((1 << 256) - (_P - _N_ORDER))
+            c_ = None
+            for i in range(LIMBS):
+                t = xr.l[i] + comp[i]
+                t = t if c_ is None else t + c_
+                c_ = t >> 16
+            lt = c_ == 0
+            xr2 = fe_weak(fe_add(xr, _fe_const(tb, _cl(_N_ORDER))))
+            eq2 = fe_is_zero(fe_sub(fe_mul(xr2, zz2), accp.x))
+            okv = (eq1 | (eq2 & lt)) & (accp.inf == 0)
+            ok_ref[0, cols] = okv.astype(jnp.uint32)
+        else:
+            ok_ref[0, cols] = jnp.zeros_like(tb)
 
 
-@lru_cache(maxsize=4)
-def _ecmult_glv_call(tb: int, check: bool):
+@lru_cache(maxsize=8)
+def _ecmult_glv_call(tb: int, check: bool, pairs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from functools import partial
 
-    kern = partial(_ecmult_glv_kernel, check=check)
+    kern = partial(_ecmult_glv_kernel, check=check, pairs=pairs)
 
     @jax.jit
     def run(digs, px, py, misc, rx):
         B = px.shape[-1]
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
-        spec128 = pl.BlockSpec((104, tb), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)
+        specd = pl.BlockSpec((104, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
         spec4 = pl.BlockSpec((4, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
         spec1 = pl.BlockSpec((1, tb), lambda i: (0, i),
@@ -735,32 +692,50 @@ def _ecmult_glv_call(tb: int, check: bool):
                 jax.ShapeDtypeStruct((1, B), jnp.uint32),
             ),
             grid=(B // tb,),
-            in_specs=[spec128, spec16, spec16, spec4, spec16],
+            in_specs=[specd, spec16, spec16, spec4, spec16],
             out_specs=(spec16, spec16, spec16, spec1, spec1),
+            # the per-lane P/lambda-P tables push past the 16M default
+            # scoped-vmem at tb >= 2048; v5e has headroom above it.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(digs, px, py, misc, rx)
 
     return run
 
 
 def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
-    """GLV double-scalar mult from prep-kernel digit streams.
+    """GLV double-scalar mult R = u1*G + u2*P from prep digit streams.
 
-    digs: [104, B] signed-w5 digits (pallas_scalar.ecdsa_prep_tpu);
-    flags:
-    [2, B] (neg1, neg2); px/py: [16, B]; pinf: [B] bool; rx: [16, B]
-    canonical r limbs to enable the fused ECDSA x(R)===r check.
+    digs: [104, B] signed-w5 MSB-first rows (mag | sign<<8,
+    pallas_scalar.recode_w5): 0-25 a1, 26-51 a2, 52-77 u1 low half,
+    78-103 u1 high half; flags: [2, B] (neg1, neg2) with
+    u2 = (-1)^neg1*a1 + lambda*(-1)^neg2*a2 (mod n); px/py: [16, B];
+    pinf: [B] bool; rx: [16, B] canonical r limbs to enable the fused
+    ECDSA x(R)===r check.
 
     Returns (x, y, z [16, B], inf [B] bool, ok [B] bool)."""
+    import os
     from .pallas_field import auto_tb
     B = px.shape[-1]
     if tb is None:
         tb = auto_tb(B)
+    assert digs.shape[0] == 104, digs.shape
+    # unroll-and-jam factor: independent column groups per block (see
+    # _ecmult_glv_kernel).  Default 2: two 2048-lane pipelines per
+    # 4096-lane block is the round-3 sweep optimum on v5e (1.21M
+    # verifies/s vs 1.07M for one 2048-lane group — the jam's extra
+    # ILP wins exactly when the per-group width stays at 2048; wider
+    # groups or more of them spill the P-table working set, see
+    # docs/PERF.md).  SECP_TPU_PAIRS overrides for sweeps.
+    pairs = max(int(os.environ.get("SECP_TPU_PAIRS", "2")), 1)
+    while pairs > 1 and (tb % pairs or (tb // pairs) % 256):
+        pairs //= 2
     misc = jnp.concatenate(
         [pinf.astype(jnp.uint32)[None, :], flags,
          jnp.zeros((1, B), jnp.uint32)], axis=0)
     check = rx is not None
     if rx is None:
         rx = jnp.zeros((LIMBS, B), jnp.uint32)
-    ox, oy, oz, oinf, ok = _ecmult_glv_call(tb, check)(
+    ox, oy, oz, oinf, ok = _ecmult_glv_call(tb, check, pairs)(
         digs, px, py, misc, rx)
     return ox, oy, oz, oinf[0] != 0, ok[0] != 0

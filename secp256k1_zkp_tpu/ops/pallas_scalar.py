@@ -402,8 +402,8 @@ def recode_w5(l8):
 def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, f_ref):
     """m, r, s (canonical [16, TB]) -> digit streams + GLV sign flags.
 
-    d_ref rows (MSB-first signed 5-bit, mag | sign<<8): 0-25 u1_lo,
-    26-51 u1_hi, 52-77 a1, 78-103 a2; f_ref rows: neg1, neg2."""
+    d_ref rows (MSB-first signed 5-bit, mag | sign<<8): 0-25 a1,
+    26-51 a2, 52-77 u1_lo, 78-103 u1_hi; f_ref rows: neg1, neg2."""
     from .pallas_divsteps import inv_limbs16
     m = [m_ref[i, :] for i in range(LIMBS)]
     r = [r_ref[i, :] for i in range(LIMBS)]
@@ -417,8 +417,8 @@ def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, f_ref):
     u2 = _canon_n(_mul_limbs_n(r, sinv))
     a1, neg1, a2, neg2 = _glv_split(u2)
 
-    digs = (recode_w5(u1[:8]) + recode_w5(u1[8:])
-            + recode_w5(a1) + recode_w5(a2))
+    digs = (recode_w5(a1) + recode_w5(a2)
+            + recode_w5(u1[:8]) + recode_w5(u1[8:]))
     for i in range(4 * NW5):
         d_ref[i, :] = digs[i]
     f_ref[0, :] = neg1
@@ -510,7 +510,7 @@ def ecdsa_prep_tpu(m, r, s, tb: int | None = None):
     """Fused ECDSA verify prep on [16, B] limb-major canonical inputs.
 
     Returns (digits [104, B] uint32, flags [2, B] uint32): digit rows
-    0-25 = u1 low half, 26-51 = u1 high half, 52-77 = a1, 78-103 = a2
+    0-25 = a1, 26-51 = a2, 52-77 = u1 low half, 78-103 = u1 high half
     (signed 5-bit windows, MSB-first, mag | sign<<8), where u2 =
     (-1)^neg1 * a1 + lambda * (-1)^neg2 * a2 (mod n); flags =
     (neg1, neg2)."""

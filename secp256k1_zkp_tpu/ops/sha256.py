@@ -81,11 +81,38 @@ def _compress_scan(state, block):
     return state + out
 
 
+_COMPRESS_OVERRIDE = None
+
+
+def set_compress(fn):
+    """Install a custom compression function (or None to reset).
+
+    The TPU counterpart of the fork's signature feature — the
+    per-context pluggable SHA256 compression hook
+    (include/secp256k1.h:420-446, secp256k1_context_set_sha256_hasher,
+    src/secp256k1.c:247-261): every hash in the library (tagged hashes,
+    HMAC, RFC6979, stream objects) routes through :func:`compress`, so
+    an override here redirects all of them.  ``fn(state, block)`` takes
+    uint32 tensors [..., 8], [..., 16] and returns [..., 8].  Like the
+    reference's hook this is process-global configuration; install it
+    BEFORE tracing (jitted programs specialize on it, exactly like the
+    frozen config).  Returns the previous override.  Use
+    ``Context(hash_compress=fn)`` to install + KAT-validate in one step
+    (src/selftest.h:14-34 analog)."""
+    global _COMPRESS_OVERRIDE
+    prev = _COMPRESS_OVERRIDE
+    _COMPRESS_OVERRIDE = fn
+    return prev
+
+
 def compress(state, block):
     """One SHA-256 compression: state [..., 8], block [..., 16] -> [..., 8]
     (cf. sha256_transform, src/hash_impl.h:51-138).  Rolled by default
     (compile-size); config sha_unroll (SECP_TPU_UNROLL_SHA=1) selects
-    the unrolled 64-round body."""
+    the unrolled 64-round body; a :func:`set_compress` override wins
+    over both."""
+    if _COMPRESS_OVERRIDE is not None:
+        return _COMPRESS_OVERRIDE(state, block)
     from ..config import config
     if config().sha_unroll:
         return _compress_unrolled(state, block)
