@@ -38,3 +38,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+# Smoke tier: compile-light modules that finish in ~2 minutes on a
+# 1-core host (`pytest -m smoke`); the fast tier is `-m "not slow"`,
+# everything is the full tier.  Auto-marked by module so the list
+# lives in one place.
+_SMOKE_MODULES = {"test_der", "test_sha256", "test_limb",
+                  "test_context", "test_glv", "test_divsteps"}
+
+
+def pytest_collection_modifyitems(items):
+    for it in items:
+        if it.module.__name__ in _SMOKE_MODULES:
+            it.add_marker(pytest.mark.smoke)

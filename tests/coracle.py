@@ -227,6 +227,113 @@ class Ref:
                                                      adaptor162, ek)
         return dk.raw if r else None
 
+    # -- surjection proofs ------------------------------------------------
+    # struct secp256k1_surjectionproof: size_t n_inputs + used_inputs
+    # bitmap (32) + data 32*(1+MAX_USED) (include/secp256k1_surjectionproof.h:40)
+    _SURJ_STRUCT = 8 + 32 + 32 * 257
+
+    def generator_generate_blinded(self, key32: bytes,
+                                   blind32: bytes) -> bytes | None:
+        gen = ctypes.create_string_buffer(64)
+        r = self.lib.secp256k1_generator_generate_blinded(
+            self.ctx, gen, key32, blind32)
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(33)
+        self.lib.secp256k1_generator_serialize(self.ctx, out, gen)
+        return out.raw
+
+    def surjection_initialize(self, fixed_tags: list[bytes], n_use: int,
+                              fixed_out: bytes, n_max_iter: int,
+                              seed32: bytes):
+        """Returns (proof_struct, input_index, n_iters) or None."""
+        proof = ctypes.create_string_buffer(self._SURJ_STRUCT)
+        idx = ctypes.c_size_t()
+        tags = b"".join(fixed_tags)
+        r = self.lib.secp256k1_surjectionproof_initialize(
+            self.ctx, proof, ctypes.byref(idx), tags,
+            ctypes.c_size_t(len(fixed_tags)), ctypes.c_size_t(n_use),
+            fixed_out, ctypes.c_size_t(n_max_iter), seed32)
+        if not r:
+            return None
+        return proof, idx.value, r
+
+    def surjection_generate(self, proof, input_gens33: list[bytes],
+                            output_gen33: bytes, input_index: int,
+                            input_blind32: bytes, output_blind32: bytes):
+        gens = b"".join(
+            self.generator_import(g).raw for g in input_gens33)
+        out_gen = self.generator_import(output_gen33)
+        r = self.lib.secp256k1_surjectionproof_generate(
+            self.ctx, proof, gens, ctypes.c_size_t(len(input_gens33)),
+            out_gen, ctypes.c_size_t(input_index), input_blind32,
+            output_blind32)
+        return bool(r)
+
+    def surjection_verify(self, proof, input_gens33: list[bytes],
+                          output_gen33: bytes) -> bool:
+        gens = b"".join(
+            self.generator_import(g).raw for g in input_gens33)
+        out_gen = self.generator_import(output_gen33)
+        return bool(self.lib.secp256k1_surjectionproof_verify(
+            self.ctx, proof, gens, ctypes.c_size_t(len(input_gens33)),
+            out_gen))
+
+    def surjection_serialize(self, proof) -> bytes:
+        out = ctypes.create_string_buffer(2 + 32 + 32 * 257)
+        olen = ctypes.c_size_t(2 + 32 + 32 * 257)
+        r = self.lib.secp256k1_surjectionproof_serialize(
+            self.ctx, out, ctypes.byref(olen), proof)
+        assert r
+        return out.raw[:olen.value]
+
+    def surjection_parse(self, data: bytes):
+        proof = ctypes.create_string_buffer(self._SURJ_STRUCT)
+        r = self.lib.secp256k1_surjectionproof_parse(
+            self.ctx, proof, data, ctypes.c_size_t(len(data)))
+        return proof if r else None
+
+    # -- whitelist ---------------------------------------------------------
+    # struct secp256k1_whitelist_signature: size_t n_keys + data
+    # 32*(1+MAX_KEYS) (include/secp256k1_whitelist.h:34)
+    _WL_STRUCT = 8 + 32 * 257
+
+    def whitelist_sign(self, online_pubs: list[bytes],
+                       offline_pubs: list[bytes], sub_pub: bytes,
+                       online_sec32: bytes, summed_sec32: bytes,
+                       index: int):
+        """pubs are serialized (33/65B); returns serialized sig or None."""
+        n = len(online_pubs)
+        on = b"".join(self._pubkey_obj(p).raw for p in online_pubs)
+        off = b"".join(self._pubkey_obj(p).raw for p in offline_pubs)
+        sub = self._pubkey_obj(sub_pub)
+        sig = ctypes.create_string_buffer(self._WL_STRUCT)
+        r = self.lib.secp256k1_whitelist_sign(
+            self.ctx, sig, on, off, ctypes.c_size_t(n), sub,
+            online_sec32, summed_sec32, ctypes.c_size_t(index))
+        if not r:
+            return None
+        out = ctypes.create_string_buffer(1 + 32 * 257)
+        olen = ctypes.c_size_t(1 + 32 * 257)
+        r = self.lib.secp256k1_whitelist_signature_serialize(
+            self.ctx, out, ctypes.byref(olen), sig)
+        assert r
+        return out.raw[:olen.value]
+
+    def whitelist_verify(self, sig_ser: bytes, online_pubs: list[bytes],
+                         offline_pubs: list[bytes],
+                         sub_pub: bytes) -> bool:
+        sig = ctypes.create_string_buffer(self._WL_STRUCT)
+        if not self.lib.secp256k1_whitelist_signature_parse(
+                self.ctx, sig, sig_ser, ctypes.c_size_t(len(sig_ser))):
+            return False
+        n = len(online_pubs)
+        on = b"".join(self._pubkey_obj(p).raw for p in online_pubs)
+        off = b"".join(self._pubkey_obj(p).raw for p in offline_pubs)
+        sub = self._pubkey_obj(sub_pub)
+        return bool(self.lib.secp256k1_whitelist_verify(
+            self.ctx, sig, on, off, ctypes.c_size_t(n), sub))
+
     def rangeproof_rewind(self, blind_out_expected: bool,
                           commit_ser33: bytes, proof: bytes,
                           nonce32: bytes, gen_ser33: bytes,

@@ -29,3 +29,34 @@ def test_randomize_blind_state():
     # NULL-seed reset (secp256k1.c:833 NULL path)
     ctx.randomize(None)
     assert ctx.blind is None
+
+
+def test_hash_compress_hook():
+    """The pluggable compression hook routes every hash path and is
+    KAT-gated (include/secp256k1.h:420-446 parity)."""
+    import pytest
+    from secp256k1_zkp_tpu.ops import sha256 as H
+
+    calls = []
+
+    def spy(state, block):
+        calls.append(1)
+        return H._compress_scan(state, block)
+
+    Context.set_hash_compress(spy)
+    try:
+        assert calls, "KAT did not route through the override"
+        n0 = len(calls)
+        H.tagged_hash_bytes("BIP0340/aux", np.zeros((1, 32), np.uint8))
+        assert len(calls) > n0, "tagged hash bypassed the override"
+    finally:
+        Context.set_hash_compress(None)
+
+    def broken(state, block):
+        return H._compress_scan(state, block) ^ np.uint32(1)
+
+    with pytest.raises(RuntimeError):
+        Context.set_hash_compress(broken)
+    # failed install restores the builtin
+    import secp256k1_zkp_tpu.ops.sha256 as H2
+    assert H2._COMPRESS_OVERRIDE is None

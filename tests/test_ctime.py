@@ -129,12 +129,16 @@ def test_no_data_dependent_control_flow(secret_entries):
 
 
 def test_lowering_identical_for_secret_values(secret_entries):
-    # Same shapes, different secret values -> byte-identical HLO.
-    from secp256k1_zkp_tpu.modules import ecdsa
-    B = 4
-    msg = jnp.zeros((B, 32), jnp.uint8)
-    s1 = jnp.ones((B, 32), jnp.uint8)
-    s2 = jnp.asarray(np.full((B, 32), 0xA5, np.uint8))
-    t1 = _lower_text(ecdsa.sign, msg, s1)
-    t2 = _lower_text(ecdsa.sign, msg, s2)
-    assert t1 == t2
+    # Same shapes, different input values -> byte-identical HLO, over
+    # the FULL secret-consuming sweep (the program a secret flows
+    # through is the same program for every secret — the strongest
+    # whole-pipeline constant-time claim; reference bar:
+    # src/ctime_tests.c:53-82 runs valgrind over every such API).
+    for name, (fn, args) in secret_entries.items():
+        alt = tuple(
+            jnp.asarray(np.full(a.shape, 0xA5, np.asarray(a).dtype))
+            if np.asarray(a).dtype == np.uint8 else a
+            for a in args)
+        t1 = _lower_text(fn, *args)
+        t2 = _lower_text(fn, *alt)
+        assert t1 == t2, f"{name}: lowering depends on input values"
