@@ -131,6 +131,18 @@ def main():
         from secp256k1_zkp_tpu.modules import schnorrsig, generator
         from secp256k1_zkp_tpu.ops import scalar as SS
 
+        all_rows = [{
+            "metric": "ecdsa_verify_throughput_per_chip",
+            "value": round(ops, 1), "unit": "verifies/s",
+            "vs_baseline": round(ops / PER_CHIP_TARGET, 4)}]
+
+        def _emit(row):
+            all_rows.append(row)
+            print(json.dumps(row), file=sys.stderr)
+            with open(os.environ.get("SECP_TPU_BENCH_ALL_OUT",
+                                     "bench_all.json"), "w") as f:
+                json.dump(all_rows, f, indent=1)
+
         def stream_rate(fn, ins, name, unit):
             @jax.jit
             def run(*stacked):
@@ -142,10 +154,10 @@ def main():
             t0 = time.perf_counter()
             out = np.asarray(run(*ins))
             dt = time.perf_counter() - t0
-            print(json.dumps({
+            _emit({
                 "metric": name,
                 "value": round(BATCH * ITERS / dt, 1),
-                "unit": unit}), file=sys.stderr)
+                "unit": unit})
             return out
 
         # Schnorr verify stream
@@ -228,10 +240,10 @@ def main():
                 r0 = msm_fn(ks, pts)
             np.asarray(r0.x.v)  # np.asarray is the only real fence here
             dt = time.perf_counter() - t0
-            print(json.dumps({
+            _emit({
                 "metric": "msm_pippenger_points_per_s",
                 "value": round(NP_MSM * reps / dt, 1),
-                "unit": f"points/s (n={NP_MSM})"}), file=sys.stderr)
+                "unit": f"points/s (n={NP_MSM})"})
         else:
             t0 = time.perf_counter()
             s2 = None
@@ -239,10 +251,10 @@ def main():
                 s2 = make_batch(msgs, secs)
             np.asarray(s2[0])
             dts = time.perf_counter() - t0
-            print(json.dumps({
+            _emit({
                 "metric": "ecdsa_sign+keygen_throughput_per_chip",
                 "value": round(BATCH * 2 / dts, 1),
-                "unit": "signs/s"}), file=sys.stderr)
+                "unit": "signs/s"})
 
 
 if __name__ == "__main__":

@@ -100,12 +100,20 @@ def main():
 
     if len(sizes) > 1:
         eff = times[sizes[0]] / times[sizes[-1]]
-        print(json.dumps({
+        row = {
             "metric": "msm_weak_scaling_efficiency",
             "value": round(eff, 4),
             "unit": f"T(1)/T({sizes[-1]}), {PER_DEV} pts/device",
             "virtual": virtual,
-            "vs_baseline": round(eff / 0.85, 4)}))
+            "vs_baseline": round(eff / 0.85, 4)}
+        print(json.dumps(row))
+        # committed per-round artifact so the scaling trend is visible
+        # even when only virtual meshes are reachable (VERDICT r2 w4)
+        with open(os.environ.get("SECP_TPU_SCALING_OUT",
+                                 "bench_scaling_latest.json"), "w") as f:
+            json.dump({"rows": [
+                {"devices": nd, "ms": round(times[nd] * 1e3, 3)}
+                for nd in sizes], **row}, f, indent=1)
 
 
 if __name__ == "__main__":
