@@ -282,6 +282,7 @@ def verify_tpu(msg32, sig64, pub: G.GE, tb: int | None = None):
     glue.  Semantics identical to :func:`verify` (low-S enforced).
     Requires a 1-D batch; pads internally to a multiple of ``tb``."""
     from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
     from ..ops import pallas_group as PG
     from ..ops import pallas_scalar as PS
 
@@ -295,12 +296,13 @@ def verify_tpu(msg32, sig64, pub: G.GE, tb: int | None = None):
     m_t = _pad_to(jnp.transpose(m.v), tb)
     r_t = _pad_to(jnp.transpose(r.v), tb)
     s_t = _pad_to(jnp.transpose(s.v), tb)
-    digs, flags = PS.ecdsa_prep_tpu(m_t, r_t, s_t, tb=tb)
+    digs, gdigs, flags = PS.ecdsa_prep_tpu(m_t, r_t, s_t, tb=tb)
+    gjac = PGEN.fixedbase_digits_tpu(gdigs, tb=tb)
 
     px = _pad_to(jnp.transpose(F.normalize(pub.x).v), tb)
     py = _pad_to(jnp.transpose(F.normalize(pub.y).v), tb)
     pinf = _pad_to(pub.inf, tb, axis=0)
-    _, _, _, _, ok = PG.ecmult_glv_tpu(digs, flags, px, py, pinf,
+    _, _, _, _, ok = PG.ecmult_glv_tpu(digs, flags, px, py, pinf, gjac,
                                        rx=r_t, tb=tb)
     ok = ok[:B] & nonzero & ~pub.inf & ~S.is_high(s)
     return ok & sig_ok

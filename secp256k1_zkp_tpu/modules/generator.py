@@ -163,6 +163,7 @@ def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
     64-bit value needs no lambda split (v < 2^128 is its own magnitude)
     so the digit streams are pure bit-slicing."""
     from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
     from ..ops import pallas_group as PG
     from ..modules.schnorrsig import _digits_rows_w5, _pad_to
 
@@ -176,17 +177,17 @@ def pedersen_commit_tpu(blind32, value_hi, value_lo, gen: G.GE,
     v_t = _pad_to(jnp.transpose(v.v), tb)
     Bp = b_t.shape[-1]
     # u2 = v rides the a1 stream (v < 2^128 needs no lambda split); the
-    # blind b*G rides the u1 streams.
+    # blind b*G goes through the fixed-base comb kernel.
     digs = jnp.concatenate(
-        [_digits_rows_w5(v_t, 0, 8), jnp.zeros((26, Bp), jnp.uint32),
-         _digits_rows_w5(b_t, 0, 8), _digits_rows_w5(b_t, 8, 16)],
+        [_digits_rows_w5(v_t, 0, 8), jnp.zeros((26, Bp), jnp.uint32)],
         axis=0)
     flags = jnp.zeros((2, Bp), jnp.uint32)
+    gjac = PGEN.fixedbase_digits_tpu(PGEN.gen_digits(b_t), tb=tb)
     gx = _pad_to(jnp.transpose(F.normalize(gen.x).v), tb)
     gy = _pad_to(jnp.transpose(F.normalize(gen.y).v), tb)
     pinf = _pad_to(gen.inf, tb, axis=0)
     x, y, z, inf, _ = PG.ecmult_glv_tpu(digs, flags, gx, gy, pinf,
-                                        rx=None, tb=tb)
+                                        gjac, rx=None, tb=tb)
     xa, ya, sq = PF.affine_meta_tpu(x, y, z, tb=tb)
     xa_b = LB(jnp.transpose(xa)[:B], MASK16)
     pre = jnp.where(sq[:B], 8, 9).astype(jnp.uint8)[..., None]

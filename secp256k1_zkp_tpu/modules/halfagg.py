@@ -56,9 +56,9 @@ def aggverify(msgs32, pubx32, aggsig, n: int, table=None):
     Returns a bool lane mask.  The rhs sum_i z_i*R_i + (z_i e_i)*P_i is
     computed as ONE MSM over 2n points (SURVEY.md §7.1 step 8): only
     the chained z transcripts are sequential in i; all 2n scalar
-    multiplications run together — through the bucketed Pippenger
-    engine for a single aggregate, or one lane-batched ecmult_const +
-    tree reduction when aggregates themselves are batched."""
+    multiplications run together through ops.msm.ecmult_multi —
+    bucketed Pippenger for a single aggregate, the shared-doubling
+    windowed engine when aggregates themselves are batched."""
     from ..ops import msm
     from ..ops.limb import LB, MASK16
 
@@ -89,18 +89,16 @@ def aggverify(msgs32, pubx32, aggsig, n: int, table=None):
         py += [R_i.y, P_i.y]
         pinf += [R_i.inf, P_i.inf]
 
-    ax = len(batch)
-    ks_all = LB(jnp.stack([k.v for k in ks], axis=ax), MASK16)
-    pts_all = G.GE(LB(jnp.stack([F.normalize(x).v for x in px], axis=ax),
+    # MSM axis leads; trailing axes are the (optional) aggregate batch —
+    # ecmult_multi handles both (shared-doubling windowed engine when a
+    # batch axis is present, bucketed Pippenger for single aggregates).
+    ks_all = LB(jnp.stack([k.v for k in ks], axis=0), MASK16)
+    pts_all = G.GE(LB(jnp.stack([F.normalize(x).v for x in px], axis=0),
                       MASK16),
-                   LB(jnp.stack([F.normalize(y).v for y in py], axis=ax),
+                   LB(jnp.stack([F.normalize(y).v for y in py], axis=0),
                       MASK16),
-                   jnp.stack(pinf, axis=ax))
-    if batch == ():
-        rhs = msm.ecmult_multi(ks_all, pts_all)
-    else:
-        prods = ecmult.ecmult_const(ks_all, pts_all)   # [*batch, 2n]
-        rhs = msm._tree_reduce(prods, axis=ax)
+                   jnp.stack(pinf, axis=0))
+    rhs = msm.ecmult_multi(ks_all, pts_all)
     s, s_ovf = S.from_bytes_be(aggsig[..., 32 * n:32 * (n + 1)])
     ok = ok & ~s_ovf
     lhs = ecmult.ecmult_gen(s, table)

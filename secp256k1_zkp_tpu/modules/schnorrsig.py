@@ -283,6 +283,7 @@ def verify_tpu(msg32, sig64, px32, tb: int | None = None):
     Strauss ecmult kernel, and the R-acceptance kernel (x(R)==r, even
     y via one in-kernel z inverse).  Semantics match :func:`verify`."""
     from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
     from ..ops import pallas_group as PG
     from ..ops import pallas_scalar as PS
 
@@ -306,14 +307,12 @@ def verify_tpu(msg32, sig64, px32, tb: int | None = None):
     eflags = eflags ^ jnp.uint32(1)          # R = s*G + (-e)*P
 
     s_t = _pad_to(jnp.transpose(s.v), tb)
-    digs = jnp.concatenate(
-        [edigs, _digits_rows_w5(s_t, 0, 8), _digits_rows_w5(s_t, 8, 16)],
-        axis=0)
+    gjac = PGEN.fixedbase_digits_tpu(PGEN.gen_digits(s_t), tb=tb)
 
     Bp = pkx_t.shape[-1]
     pinf = jnp.zeros((Bp,), bool)
-    x, y, z, inf, _ = PG.ecmult_glv_tpu(digs, eflags, pkx_t, py_t, pinf,
-                                        rx=None, tb=tb)
+    x, y, z, inf, _ = PG.ecmult_glv_tpu(edigs, eflags, pkx_t, py_t,
+                                        pinf, gjac, rx=None, tb=tb)
     rx_t = _pad_to(jnp.transpose(F.normalize(rx).v), tb)
     okk = PF.schnorr_check_tpu(x, y, z, inf, rx_t, tb=tb)
     return (okk[:B] & on_curve[:B] & ~pkx_ovf & ~rx_ovf & ~s_ovf)

@@ -107,20 +107,29 @@ def genmessage(input_tags: list[G.GE], output_tag: G.GE):
 
 
 def genrand(n_used: int, blinding_key: LB):
-    """s_i = sha256(le32(i) || blind32) (surjection_genrand,
-    surjection_impl.h:38).  Returns (s list, ok)."""
+    """s_i = sha256(le32(i) || tail_i) (surjection_genrand,
+    surjection_impl.h:38).  Returns (s list, ok).
+
+    The reference hashes a single reused 36-byte buffer whose first 32
+    bytes are overwritten by each round's digest (sha256_finalize writes
+    into sec_input), so only round 0 hashes the blinding key directly;
+    round i>=1 hashes le32(i) || digest_{i-1}[4:32] || blind32[28:32].
+    This accidental chaining is deployed (Liquid) behavior and must be
+    reproduced bit-exactly."""
     b32 = S.to_bytes_be(S.normalize(blinding_key))
     batch = b32.shape[:-1]
     out = []
     ok = jnp.ones(batch, bool)
+    tail = b32                                  # sec_input[4:36]
     for i in range(n_used):
         pre = np.frombuffer(int(i).to_bytes(4, "little"), np.uint8)
         prefix = jnp.broadcast_to(jnp.asarray(pre), (*batch, 4))
         h = H.words_to_bytes32(H.sha256_bytes(
-            jnp.concatenate([prefix, b32], axis=-1)))
+            jnp.concatenate([prefix, tail], axis=-1)))
         s, ovf = S.from_bytes_be(h)
         ok = ok & ~ovf
         out.append(s)
+        tail = jnp.concatenate([h[..., 4:32], b32[..., 28:32]], axis=-1)
     return out, ok
 
 

@@ -86,21 +86,24 @@ def msm_simple(ks: LB, pts: G.GE, axis: int = 0) -> G.GEJ:
 
 
 def msm_windowed(ks: LB, pts: G.GE) -> G.GEJ:
-    """Shared-doubling windowed MSM over the leading batch axis.
+    """Shared-doubling windowed MSM over the LEADING axis; any trailing
+    axes are independent batched MSMs (the halfagg/musig batched-
+    aggregate shape).
 
     acc := 16*acc + sum_i digit_w(k_i)*P_i  per window w (MSB-first);
     the inner sum is a tree of complete adds over gathered per-lane
     multiples (d*P_i from each lane's 16-entry table)."""
+    window = ecmult._window()
     ks = S.FN.norm_weak(ks) if ks.bound > MASK16 else ks
-    tx, ty, tinf = ecmult._pt_table(pts)   # [16, B, 16limbs]
-    digits = ecmult.scalar_digits(ks)      # [B, 64] LSB-first
-    digs = jnp.moveaxis(digits, -1, 0)[::-1]  # [64, B] MSB-first
-    acc0 = G.gej_infinity(())
+    tx, ty, tinf = ecmult._pt_table(pts, window)  # [T, n, ..., 16limbs]
+    digits = ecmult.scalar_digits(ks, window)     # [n, ..., W] LSB-first
+    digs = jnp.moveaxis(digits, -1, 0)[::-1]      # [W, n, ...] MSB-first
+    acc0 = G.gej_infinity(ks.batch_shape[1:])
 
     def body(acc, d):
-        pt = G.ge_gather(tx, ty, tinf, d)      # [B] points
-        contrib = _tree_reduce(G.gej_from_ge(pt))  # single point
-        acc = G.gej_double_n(acc, ecmult.WINDOW)
+        pt = G.ge_gather(tx, ty, tinf, d)          # [n, ...] points
+        contrib = _tree_reduce(G.gej_from_ge(pt))  # [...] point(s)
+        acc = G.gej_double_n(acc, window)
         return G.gej_add(acc, contrib), None
 
     acc, _ = jax.lax.scan(body, acc0, digs)
@@ -358,10 +361,16 @@ def msm_pippenger(ks: LB, pts: G.GE, c: int | None = None) -> G.GEJ:
 
 
 def ecmult_multi(ks: LB, pts: G.GE) -> G.GEJ:
-    """Size-dispatched MSM (counterpart of ecmult_multi_var's algorithm
-    selection, ecmult_impl.h:823-867)."""
+    """Size-dispatched MSM over the LEADING axis (counterpart of
+    ecmult_multi_var's algorithm selection, ecmult_impl.h:823-867).
+    Trailing axes are independent batched MSMs (reduced per lane)."""
     from ..config import config
     n = ks.v.shape[0]
+    if ks.v.ndim > 2:
+        # batched aggregates: the sort/segment Pippenger engine is
+        # per-lane only, so batched inputs use the shared-doubling
+        # windowed engine (or per-lane multiplies when tiny).
+        return msm_simple(ks, pts) if n <= 32 else msm_windowed(ks, pts)
     if n <= 32:
         return msm_simple(ks, pts)
     if n <= max(config().pippenger_threshold, 1024):

@@ -69,22 +69,33 @@ def _mul_limbs(a, b):
 
 
 def _sqr_limbs(a):
-    """Squaring: exploits symmetry (i<j doubled) — ~half the products."""
+    """Squaring: exploits symmetry (i<j doubled) — ~half the products.
+
+    Off-diagonal products accumulate UNdoubled into their own columns,
+    which are doubled once per column at the merge — one shift per
+    column instead of two per product (240 -> ~33 shift ops; ~6% of
+    the whole verify budget since squarings are the largest op class
+    on the GLV path: 5 per doubling + 5 per add)."""
     z = jnp.zeros_like(a[0])
-    lo = [z] * 31
+    lo = [z] * 31                             # diagonal contributions
     hi = [z] * 31
+    loD = [z] * 31                            # off-diagonal, x2 deferred
+    hiD = [z] * 31
     for i in range(LIMBS):
         p = a[i] * a[i]
         lo[2 * i] = lo[2 * i] + (p & MASK16)
         hi[2 * i] = hi[2 * i] + (p >> 16)
         for j in range(i + 1, LIMBS):
             p = a[i] * a[j]
-            pl = (p & MASK16) << 1            # p < 2^32/2 ? no: p can be
-            ph = (p >> 16) << 1               # full 32-bit; shift of lo
-            # (p & MASK16) << 1 <= 2^17 ok; (p>>16) << 1 <= 2^17 ok
-            lo[i + j] = lo[i + j] + pl
-            hi[i + j] = hi[i + j] + ph
-    cols = [lo[0]] + [lo[k] + hi[k - 1] for k in range(1, 31)] + [hi[30]]
+            loD[i + j] = loD[i + j] + (p & MASK16)
+            hiD[i + j] = hiD[i + j] + (p >> 16)
+    # bounds: <= 8 off-diag products per column stream, each half
+    # <= 0xFFFF  ->  loD/hiD < 2^19, doubled < 2^20; diag adds < 2^18;
+    # total < 2^21 (same budget as _mul_limbs' 32*0xFFFF).
+    cols = [lo[0] + (loD[0] << 1)]
+    cols += [lo[k] + hi[k - 1] + ((loD[k] + hiD[k - 1]) << 1)
+             for k in range(1, 31)]
+    cols += [hi[30] + (hiD[30] << 1)]
     return _reduce_cols(cols)
 
 

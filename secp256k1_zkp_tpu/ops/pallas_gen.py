@@ -7,12 +7,13 @@ and the scalar epilogues of ECDSA / Schnorr signing
 
 Design (TPU-first, not a comb translation):
 
-* k is split into four 64-bit quarters; quarter q runs against a
-  compile-time-constant table of d * 2^(64q) * G (d = 1..16, signed-w5
-  digits).  13 windows x (5 doublings + 4 constant mixed adds) ~= 1030
-  mod-p mul-equivalents per lane — about 0.45x the verify kernel.  The
-  tables are immediates (select chains of scalar constants), the analog
-  of the generated precomputed_ecmult_gen.c, costing zero VMEM.
+* k is recoded into 37 signed-w7 digits; digit position v runs against
+  a compile-time-constant table of d * 2^(7v) * G (d = 1..64) — a full
+  per-position comb, so k*G costs 37 constant mixed adds and ZERO
+  doublings (~580 mod-p mul-equivalents per lane; the round-2 quarters
+  design spent 52 adds + 65 doublings ~= 1030).  The tables are
+  immediates (select chains of scalar constants), the analog of the
+  generated precomputed_ecmult_gen.c, costing zero VMEM.
 * Table lookups are full-scan selects — the uniform-dataflow shape that
   replaces the reference's cmov scan (ecmult_gen_impl.h:237-249); there
   is no secret-dependent addressing anywhere.
@@ -39,24 +40,30 @@ from .pallas_field import (LIMBS, _canon_p, _mul_limbs, _sqr_limbs,
 from .pallas_group import (FE, MASK16, _jp_flat, _jp_unflat,
                            fe_neg, fe_select, fe_weak, fe_zero,
                            jp_add_aff, jp_double, jp_inf)
-from .pallas_scalar import (N_ORDER, _c16, _canon_n, _is_gt_const,
-                            _mul_limbs_n, _sub_from_const, recode_w5_n)
+from .pallas_scalar import (NW7, N_ORDER, _c16, _canon_n, _is_gt_const,
+                            _mul_limbs_n, _sub_from_const, recode_w7_256)
 
 _RED_N = _c16(2 ** 256 - N_ORDER)
 _N_HALF = (N_ORDER - 1) // 2
-NQ = 4          # quarters of the scalar
-NWQ = 13        # signed-w5 windows per 64-bit quarter
+COMB_ENTRIES = 64   # signed-w7 magnitudes 1..64
 
 
 @lru_cache(maxsize=1)
-def _gen_tables_int():
-    """[q][d] = (x, y) int-limb tuples of (d+1) * 2^(64q) * G."""
+def _comb_tables_int():
+    """[v][d] = (x, y) int-limb tuples of ((d+1) * 2^(7v) mod n) * G.
+
+    One 64-entry table per digit position: with per-window tables no
+    doublings are spent on the fixed base at all — 37 adds replace the
+    round-2 quarters design's 52 adds + 65 doublings (the TPU-shaped
+    descendant of the reference's signed-digit multi-comb with its
+    per-block precomputed tables, src/ecmult_gen_impl.h:54-116 and
+    precomputed_ecmult_gen.c)."""
     from ..utils import hostcurve
     tabs = []
-    for q in range(NQ):
-        base = (1 << (64 * q)) % hostcurve.N
+    for v in range(NW7):
+        base = pow(2, 7 * v, hostcurve.N)
         tab = []
-        for d in range(1, 17):
+        for d in range(1, COMB_ENTRIES + 1):
             x, y = hostcurve.mul((d * base) % hostcurve.N)
             tab.append((_c16(x), _c16(y)))
         tabs.append(tuple(tab))
@@ -64,12 +71,12 @@ def _gen_tables_int():
 
 
 def _gather_const(tab, d):
-    """Select-of-immediates over a 16-entry (x,y) int-limb table;
-    d in 1..16 (d == 0 is masked by the caller's inf flag)."""
+    """Select-of-immediates over an (x,y) int-limb table; d in
+    1..len(tab) (d == 0 is masked by the caller's inf flag)."""
     x0, y0 = tab[0]
     gx = FE([jnp.zeros_like(d) + int(c) for c in x0], MASK16)
     gy = FE([jnp.zeros_like(d) + int(c) for c in y0], MASK16)
-    for e in range(2, 17):
+    for e in range(2, len(tab) + 1):
         m = d == e
         ex, ey = tab[e - 1]
         gx = FE([jnp.where(m, jnp.uint32(c), v)
@@ -80,63 +87,73 @@ def _gather_const(tab, d):
 
 
 def gen_digits(k_t):
-    """Canonical scalar [16, B] -> [52, B] signed-w5 digit rows.
-
-    Rows q*13 + w = window w (MSB-first) of 64-bit quarter q.  Cheap
-    elementwise [B]-ops, so it stays in XLA glue."""
-    rows = []
-    for q in range(NQ):
-        rows.extend(recode_w5_n([k_t[4 * q + i] for i in range(4)], 64))
-    return jnp.stack(rows, axis=0)
+    """Canonical scalar [16, B] -> [37, B] signed-w7 comb digit rows
+    (MSB-first).  Cheap elementwise [B]-ops, so it stays in XLA glue."""
+    return jnp.stack(recode_w7_256([k_t[i] for i in range(LIMBS)]),
+                     axis=0)
 
 
-def _gen_kernel(*refs, blinded=False):
-    """k*G from digit rows; 13 windows x (5 dbl + 4 const adds).
+def _gen_kernel(*refs, blinded=False, pairs=1):
+    """k*G from comb digit rows: 37 unrolled constant-table mixed adds,
+    zero doublings (each row v gathers from its own 2^(7v)-scaled
+    immediates table).
 
     With ``blinded`` the kernel takes two extra input refs carrying the
     affine blinding point gb = -b*G and ends with one mixed add — the
     point-offset half of the reference's ecmult_gen blinding
     (src/ecmult_gen_impl.h:285-339); the scalar offset k' = k + b mod n
-    is applied by the caller before digit recoding."""
+    is applied by the caller before digit recoding.
+
+    ``pairs`` is the same unroll-and-jam as the GLV kernel's: the
+    block's lanes split into independent column groups whose 37-add
+    dependency chains interleave in one instruction stream."""
     if blinded:
         d_ref, bx_ref, by_ref, ox_ref, oy_ref, oz_ref = refs
     else:
         d_ref, ox_ref, oy_ref, oz_ref = refs
-    tabs = _gen_tables_int()
-    tb = d_ref[0, :]
+    tabs = _comb_tables_int()
+    tb_full = d_ref.shape[-1]
+    assert tb_full % pairs == 0
+    hw = tb_full // pairs
 
-    def window(w, carry):
-        acc = _jp_unflat(carry)
-        for _ in range(5):
-            acc = jp_double(acc)
-        for q in range(NQ):
-            dg = d_ref[q * NWQ + w, :]
-            mag = dg & 0xFF
-            sgn = dg >> 8
-            gx, gy = _gather_const(tabs[q], mag)
-            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
-            acc = jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
-        return _jp_flat(acc)
+    def add_step(acc, i, cols):
+        dg = d_ref[i, cols]
+        mag = dg & 0xFF
+        sgn = dg >> 8
+        # rows are MSB-first: row i is digit position NW7-1-i
+        gx, gy = _gather_const(tabs[NW7 - 1 - i], mag)
+        gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+        return jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
 
-    out = jax.lax.fori_loop(0, NWQ, window, _jp_flat(jp_inf(tb)))
-    acc = _jp_unflat(out)
-    if blinded:
-        gbx = FE([bx_ref[i, :] for i in range(LIMBS)], MASK16)
-        gby = FE([by_ref[i, :] for i in range(LIMBS)], MASK16)
-        acc = jp_add_aff(acc, gbx, gby, jnp.zeros_like(tb))
-    # k in [1, n-1] means the result is never infinity; z = 0 would only
-    # arise from inf lanes, which the caller masks via its own ok flags.
-    z = fe_select(acc.inf != 0, fe_zero(tb), fe_weak(acc.z))
-    for i in range(LIMBS):
-        ox_ref[i, :] = fe_weak(acc.x).l[i]
-        oy_ref[i, :] = fe_weak(acc.y).l[i]
-        oz_ref[i, :] = z.l[i]
+    colgroups = [slice(h * hw, (h + 1) * hw) for h in range(pairs)]
+    accs = [jp_inf(d_ref[0, cols]) for cols in colgroups]
+    for i in range(NW7):
+        accs = [add_step(acc, i, cols)
+                for acc, cols in zip(accs, colgroups)]
+    for h, (acc, cols) in enumerate(zip(accs, colgroups)):
+        tb = d_ref[0, cols]
+        if blinded:
+            gbx = FE([bx_ref[i, cols] for i in range(LIMBS)], MASK16)
+            gby = FE([by_ref[i, cols] for i in range(LIMBS)], MASK16)
+            acc = jp_add_aff(acc, gbx, gby, jnp.zeros_like(tb))
+        # z = 0 marks infinity lanes (k === 0 mod n); valid signing
+        # scalars never hit it, verify's u1 = m/s legitimately can.
+        z = fe_select(acc.inf != 0, fe_zero(tb), fe_weak(acc.z))
+        for i in range(LIMBS):
+            ox_ref[i, cols] = fe_weak(acc.x).l[i]
+            oy_ref[i, cols] = fe_weak(acc.y).l[i]
+            oz_ref[i, cols] = z.l[i]
 
 
 @lru_cache(maxsize=8)
 def _gen_call(tb: int, blinded: bool = False):
+    import os
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    pairs = max(int(os.environ.get("SECP_TPU_COMB_PAIRS", "2")), 1)
+    while pairs > 1 and (tb % pairs or (tb // pairs) % 256):
+        pairs //= 2
 
     @jax.jit
     def run(digs, *gb):
@@ -144,14 +161,14 @@ def _gen_call(tb: int, blinded: bool = False):
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            partial(_gen_kernel, blinded=blinded),
+            partial(_gen_kernel, blinded=blinded, pairs=pairs),
             out_shape=(
                 jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
                 jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
                 jax.ShapeDtypeStruct((LIMBS, B), jnp.uint32),
             ),
             grid=(B // tb,),
-            in_specs=[pl.BlockSpec((NQ * NWQ, tb), lambda i: (0, i),
+            in_specs=[pl.BlockSpec((NW7, tb), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)]
             + ([spec16, spec16] if blinded else []),
             out_specs=(spec16, spec16, spec16),
@@ -187,6 +204,19 @@ def ecmult_gen_tpu(k_t, tb: int | None = None, blind=None):
     by = jnp.broadcast_to(
         jnp.asarray(np.asarray(gby, np.uint32))[:, None], (LIMBS, B))
     return _gen_call(tb, True)(gen_digits(rows), bx, by)
+
+
+def fixedbase_digits_tpu(gdigs, tb: int | None = None):
+    """k*G from precomputed signed-w7 comb digit rows [37, B]
+    (pallas_scalar.recode_w7_256 layout, MSB-first).
+
+    Returns jacobian (x, y, z) [16, B] weak limbs; z == 0 marks
+    infinity lanes (all-zero digits).  The verify pipelines feed this
+    from their prep kernels and hand the result to the GLV kernel's
+    final add (u1*G + u2*P with zero G-side doublings)."""
+    if tb is None:
+        tb = auto_tb(gdigs.shape[-1])
+    return _gen_call(tb)(gdigs)
 
 
 # ---------------------------------------------------------------------------

@@ -480,19 +480,20 @@ def _gather16(xs, ys, d):
 
 
 def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
+                       gx_ref, gy_ref, gz_ref,
                        ox_ref, oy_ref, oz_ref, oinf_ref, ok_ref,
                        *, check: bool, pairs: int):
-    """R = u1*G + u2*P: GLV Strauss, 26 windows x (5 doublings + 4
-    mixed adds): a1*P' and a2*lambda*P' from the per-lane table,
-    u1_lo*G and u1_hi*2^128*G from select-of-immediate constant tables.
+    """R = u1*G + u2*P: GLV Strauss, 26 windows x (5 doublings + 2
+    mixed adds): a1*P' and a2*lambda*P' from the per-lane table.  The
+    fixed-base u1*G arrives precomputed from pallas_gen's w7 comb
+    kernel (37 constant adds, zero doublings) as jacobian refs
+    gx/gy/gz (z == 0 marks infinity) and joins via one complete
+    jacobian add before the epilogue.
 
     The per-lane P table is built in jacobian with z-ratio tracking,
     brought to a global Z (ge_table_set_globalz, src/group_impl.h:289),
     then to TRUE affine with one constant-time divsteps inverse of the
-    global Z — so the G immediates add in the same frame with ZERO
-    per-window scaling (round 2 scaled G entries by ZZ/ZZZ every
-    window: 104 muls; the inverse + table descale costs ~80 mul-eq
-    once).
+    global Z, so every window add is a mixed add.
 
     ``pairs`` is unroll-and-jam: the block's lanes are split into
     ``pairs`` independent column groups whose whole pipelines are
@@ -509,22 +510,8 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
     tb_full = px_ref.shape[-1]
     assert tb_full % pairs == 0
     hw = tb_full // pairs
-    gtab, g128tab = _g_tables_int()
+    gtab, _ = _g_tables_int()
     beta = _cl(_BETA)
-
-    def gather_const(tab, d):
-        """Select-of-immediates over a 16-entry (x,y) int-limb table."""
-        x0, y0 = tab[0]
-        gx = FE([jnp.zeros_like(d) + int(c) for c in x0], MASK16)
-        gy = FE([jnp.zeros_like(d) + int(c) for c in y0], MASK16)
-        for e in range(2, 17):
-            m = d == e
-            ex, ey = tab[e - 1]
-            gx = FE([jnp.where(m, jnp.uint32(c), v)
-                     for c, v in zip(ex, gx.l)], MASK16)
-            gy = FE([jnp.where(m, jnp.uint32(c), v)
-                     for c, v in zip(ey, gy.l)], MASK16)
-        return gx, gy
 
     def setup(cols):
         """Per-column-group state: sign-folded P, affine P/lambda-P
@@ -591,8 +578,6 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
                 acc = jp_double(acc)
             ea1 = d_ref[w, cols]
             ea2 = d_ref[NW + w, cols]
-            eglo = d_ref[2 * NW + w, cols]
-            eghi = d_ref[3 * NW + w, cols]
             # a1 * P'  (signed digit: negate gathered y on sign)
             mag, sgn = ea1 & 0xFF, ea1 >> 8
             gx, gy = _gather16(axs, ays, mag)
@@ -606,16 +591,6 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
             gy = fe_select(flip ^ (sgn != 0), fe_weak(fe_neg(gy)), gy)
             acc = jp_add_aff(acc, gx, gy,
                              ((mag == 0) | pinf_b).astype(jnp.uint32))
-            # u1_lo * G and u1_hi * 2^128*G: immediates, same (affine)
-            # frame as the P table — no per-window scaling
-            mag, sgn = eglo & 0xFF, eglo >> 8
-            gx, gy = gather_const(gtab, mag)
-            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
-            acc = jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
-            mag, sgn = eghi & 0xFF, eghi >> 8
-            gx, gy = gather_const(g128tab, mag)
-            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
-            acc = jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
             return acc
 
         return tb, win
@@ -632,7 +607,13 @@ def _ecmult_glv_kernel(d_ref, px_ref, py_ref, misc_ref, rx_ref,
 
     for h, ((tb, _), c) in enumerate(zip(groups, out)):
         cols = slice(h * hw, (h + 1) * hw)
-        accp = _jp_unflat(c)
+        accu2 = _jp_unflat(c)
+        # u1*G from the comb kernel: one complete jacobian add
+        gxf = FE([gx_ref[i, cols] for i in range(LIMBS)], MASK16)
+        gyf = FE([gy_ref[i, cols] for i in range(LIMBS)], MASK16)
+        gzf = FE([gz_ref[i, cols] for i in range(LIMBS)], MASK16)
+        g_inf = fe_is_zero(gzf).astype(jnp.uint32)
+        accp = jp_add(accu2, JP(gxf, gyf, gzf, g_inf))
         oz = fe_weak(accp.z)
         for i in range(LIMBS):
             ox_ref[i, cols] = fe_weak(accp.x).l[i]
@@ -672,11 +653,11 @@ def _ecmult_glv_call(tb: int, check: bool, pairs: int):
     kern = partial(_ecmult_glv_kernel, check=check, pairs=pairs)
 
     @jax.jit
-    def run(digs, px, py, misc, rx):
+    def run(digs, px, py, misc, rx, gx, gy, gz):
         B = px.shape[-1]
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
-        specd = pl.BlockSpec((104, tb), lambda i: (0, i),
+        specd = pl.BlockSpec((52, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
         spec4 = pl.BlockSpec((4, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
@@ -692,26 +673,29 @@ def _ecmult_glv_call(tb: int, check: bool, pairs: int):
                 jax.ShapeDtypeStruct((1, B), jnp.uint32),
             ),
             grid=(B // tb,),
-            in_specs=[specd, spec16, spec16, spec4, spec16],
+            in_specs=[specd, spec16, spec16, spec4, spec16,
+                      spec16, spec16, spec16],
             out_specs=(spec16, spec16, spec16, spec1, spec1),
             # the per-lane P/lambda-P tables push past the 16M default
             # scoped-vmem at tb >= 2048; v5e has headroom above it.
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-        )(digs, px, py, misc, rx)
+        )(digs, px, py, misc, rx, gx, gy, gz)
 
     return run
 
 
-def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
+def ecmult_glv_tpu(digs, flags, px, py, pinf, gjac,
+                   rx=None, tb: int | None = None):
     """GLV double-scalar mult R = u1*G + u2*P from prep digit streams.
 
-    digs: [104, B] signed-w5 MSB-first rows (mag | sign<<8,
-    pallas_scalar.recode_w5): 0-25 a1, 26-51 a2, 52-77 u1 low half,
-    78-103 u1 high half; flags: [2, B] (neg1, neg2) with
-    u2 = (-1)^neg1*a1 + lambda*(-1)^neg2*a2 (mod n); px/py: [16, B];
-    pinf: [B] bool; rx: [16, B] canonical r limbs to enable the fused
-    ECDSA x(R)===r check.
+    digs: [52, B] signed-w5 MSB-first rows (mag | sign<<8,
+    pallas_scalar.recode_w5): 0-25 a1, 26-51 a2; flags: [2, B]
+    (neg1, neg2) with u2 = (-1)^neg1*a1 + lambda*(-1)^neg2*a2 (mod n);
+    px/py: [16, B]; pinf: [B] bool; gjac: (gx, gy, gz) [16, B] jacobian
+    u1*G from pallas_gen.fixedbase_digits_tpu (z == 0 -> infinity);
+    rx: [16, B] canonical r limbs to enable the fused ECDSA x(R)===r
+    check.
 
     Returns (x, y, z [16, B], inf [B] bool, ok [B] bool)."""
     import os
@@ -719,7 +703,7 @@ def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
     B = px.shape[-1]
     if tb is None:
         tb = auto_tb(B)
-    assert digs.shape[0] == 104, digs.shape
+    assert digs.shape[0] == 52, digs.shape
     # unroll-and-jam factor: independent column groups per block (see
     # _ecmult_glv_kernel).  Default 2: two 2048-lane pipelines per
     # 4096-lane block is the round-3 sweep optimum on v5e (1.21M
@@ -736,6 +720,7 @@ def ecmult_glv_tpu(digs, flags, px, py, pinf, rx=None, tb: int | None = None):
     check = rx is not None
     if rx is None:
         rx = jnp.zeros((LIMBS, B), jnp.uint32)
+    gx, gy, gz = gjac
     ox, oy, oz, oinf, ok = _ecmult_glv_call(tb, check, pairs)(
-        digs, px, py, misc, rx)
+        digs, px, py, misc, rx, gx, gy, gz)
     return ox, oy, oz, oinf[0] != 0, ok[0] != 0

@@ -127,19 +127,26 @@ def _mul_limbs_n(a, b):
 
 def _sqr_limbs_n(a):
     """Squaring mod n: symmetric products doubled (~half the multiplies,
-    cf. the mod-p _sqr_limbs)."""
+    cf. the mod-p _sqr_limbs).  Off-diagonal columns accumulate
+    undoubled and double once per column (one shift per column instead
+    of two per product; bounds as in pallas_field._sqr_limbs)."""
     z = jnp.zeros_like(a[0])
     lo = [z] * 31
     hi = [z] * 31
+    loD = [z] * 31
+    hiD = [z] * 31
     for i in range(LIMBS):
         p = a[i] * a[i]
         lo[2 * i] = lo[2 * i] + (p & MASK16)
         hi[2 * i] = hi[2 * i] + (p >> 16)
         for j in range(i + 1, LIMBS):
             p = a[i] * a[j]
-            lo[i + j] = lo[i + j] + ((p & MASK16) << 1)
-            hi[i + j] = hi[i + j] + ((p >> 16) << 1)
-    cols = [lo[0]] + [lo[k] + hi[k - 1] for k in range(1, 31)] + [hi[30]]
+            loD[i + j] = loD[i + j] + (p & MASK16)
+            hiD[i + j] = hiD[i + j] + (p >> 16)
+    cols = [lo[0] + (loD[0] << 1)]
+    cols += [lo[k] + hi[k - 1] + ((loD[k] + hiD[k - 1]) << 1)
+             for k in range(1, 31)]
+    cols += [hi[30] + (hiD[30] << 1)]
     return _reduce_cols_n(cols)
 
 
@@ -353,57 +360,72 @@ def _digits128_msb(l8):
 
 
 NW5 = 26  # signed 5-bit windows covering a < 2^128 magnitude
+NW7 = 37  # signed 7-bit windows covering a < 2^256 magnitude
 
 
-def recode_w5_n(limbs, nbits: int):
-    """16-bit limb list (value < 2^nbits) -> ceil((nbits+1)/5) MSB-first
-    signed 5-bit digits encoded as mag | sign<<8, digits in [-16, 16].
+def recode_signed(limbs, nbits: int, w: int):
+    """16-bit limb list (value < 2^nbits) -> ceil((nbits+1)/w) MSB-first
+    signed w-bit digits encoded as mag | sign<<8, digits in
+    [-2^(w-1), 2^(w-1)].
 
-    Signed fixed windows halve the table reach per entry: for 128 bits,
-    26 windows of (5 doublings + adds) replace 32 of (4 doublings +
-    adds) — the vector analog of the reference's signed-digit
-    multi-comb / wNAF recodings (src/ecmult_gen_impl.h:200,
-    src/ecmult_impl.h:162).  Requires nbits % 16 == 0 and 5 | (nbits+ge)
-    coverage: the top digit is bits [5*(nw-1), nbits) plus a carry,
-    which stays <= 16 whenever nbits % 5 != 0 (proof: raw top digit
-    <= 2^(nbits mod 5) - 1 <= 15)."""
+    Signed fixed windows halve the table reach per entry — the vector
+    analog of the reference's signed-digit multi-comb / wNAF recodings
+    (src/ecmult_gen_impl.h:200, src/ecmult_impl.h:162).  Requires
+    nbits % w != 0: the top digit is bits [w*(nw-1), nbits) plus a
+    carry, which stays <= 2^(w-1) since the raw top digit is
+    <= 2^(nbits mod w) - 1 < 2^(w-1)."""
     nl = len(limbs)
-    assert nbits <= 16 * nl and nbits % 5 != 0
-    nw = (nbits + 1 + 4) // 5
+    assert nbits <= 16 * nl and nbits % w != 0 and w <= 8
+    assert (1 << (nbits % w)) <= (1 << (w - 1))
+    nw = (nbits + 1 + w - 1) // w
+    half, full = 1 << (w - 1), 1 << w
     raw = []
     for i in range(nw):
-        bit = 5 * i
+        bit = w * i
         idx, off = bit // 16, bit % 16
         if idx >= nl:
             raw.append(jnp.zeros_like(limbs[0]))
             continue
         v = limbs[idx] >> off
-        if off + 5 > 16 and idx + 1 < nl:
+        if off + w > 16 and idx + 1 < nl:
             v = v | (limbs[idx + 1] << (16 - off))
-        raw.append(v & 31)
+        raw.append(v & (full - 1))
     out = []
     carry = None
     for i in range(nw):
         d = raw[i] if carry is None else raw[i] + carry
-        neg = d > 16
+        neg = d > half
         carry = neg.astype(jnp.uint32)
-        mag = jnp.where(neg, jnp.uint32(32) - d, d)
+        mag = jnp.where(neg, jnp.uint32(full) - d, d)
         out.append(mag | (carry << 8))
-    # top digit: raw (<= 2^(nbits mod 5) - 1 <= 15) + carry <= 16, so it
-    # is never negative and the final carry is provably zero.
+    # top digit: raw (< 2^(w-1)) + carry <= 2^(w-1), so it is never
+    # negative and the final carry is provably zero.
     return out[::-1]
+
+
+def recode_w5_n(limbs, nbits: int):
+    return recode_signed(limbs, nbits, 5)
 
 
 def recode_w5(l8):
     """8x16-bit limbs (value < 2^128) -> 26 MSB-first signed-w5 digits."""
-    return recode_w5_n(l8, 128)
+    return recode_signed(l8, 128, 5)
 
 
-def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, f_ref):
+def recode_w7_256(l16):
+    """16x16-bit limbs (value < 2^256) -> 37 MSB-first signed-w7 digits
+    (mag | sign<<8, mag <= 64) — the fixed-base comb stream: each digit
+    has its own precomputed 2^(7v)*G multiples table, so no doublings
+    are spent on the G side (pallas_gen._comb_kernel)."""
+    return recode_signed(l16, 256, 7)
+
+
+def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, g_ref, f_ref):
     """m, r, s (canonical [16, TB]) -> digit streams + GLV sign flags.
 
     d_ref rows (MSB-first signed 5-bit, mag | sign<<8): 0-25 a1,
-    26-51 a2, 52-77 u1_lo, 78-103 u1_hi; f_ref rows: neg1, neg2."""
+    26-51 a2; g_ref rows 0-36: u1 signed-w7 comb digits (for the
+    fixed-base kernel); f_ref rows: neg1, neg2."""
     from .pallas_divsteps import inv_limbs16
     m = [m_ref[i, :] for i in range(LIMBS)]
     r = [r_ref[i, :] for i in range(LIMBS)]
@@ -417,10 +439,12 @@ def _ecdsa_prep_kernel(m_ref, r_ref, s_ref, d_ref, f_ref):
     u2 = _canon_n(_mul_limbs_n(r, sinv))
     a1, neg1, a2, neg2 = _glv_split(u2)
 
-    digs = (recode_w5(a1) + recode_w5(a2)
-            + recode_w5(u1[:8]) + recode_w5(u1[8:]))
-    for i in range(4 * NW5):
+    digs = recode_w5(a1) + recode_w5(a2)
+    for i in range(2 * NW5):
         d_ref[i, :] = digs[i]
+    gd = recode_w7_256(u1)
+    for i in range(NW7):
+        g_ref[i, :] = gd[i]
     f_ref[0, :] = neg1
     f_ref[1, :] = neg2
 
@@ -438,13 +462,16 @@ def _ecdsa_prep_call(tb: int):
         return pl.pallas_call(
             _ecdsa_prep_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((4 * NW5, B), jnp.uint32),
+                jax.ShapeDtypeStruct((2 * NW5, B), jnp.uint32),
+                jax.ShapeDtypeStruct((NW7, B), jnp.uint32),
                 jax.ShapeDtypeStruct((2, B), jnp.uint32),
             ),
             grid=(B // tb,),
             in_specs=[spec16, spec16, spec16],
             out_specs=(
-                pl.BlockSpec((4 * NW5, tb), lambda i: (0, i),
+                pl.BlockSpec((2 * NW5, tb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NW7, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, tb), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -509,11 +536,11 @@ def glv_split_tpu(k, tb: int | None = None):
 def ecdsa_prep_tpu(m, r, s, tb: int | None = None):
     """Fused ECDSA verify prep on [16, B] limb-major canonical inputs.
 
-    Returns (digits [104, B] uint32, flags [2, B] uint32): digit rows
-    0-25 = a1, 26-51 = a2, 52-77 = u1 low half, 78-103 = u1 high half
-    (signed 5-bit windows, MSB-first, mag | sign<<8), where u2 =
-    (-1)^neg1 * a1 + lambda * (-1)^neg2 * a2 (mod n); flags =
-    (neg1, neg2)."""
+    Returns (digits [52, B], gdigits [37, B], flags [2, B]): digit rows
+    0-25 = a1, 26-51 = a2 (signed-w5, MSB-first, mag | sign<<8) with
+    u2 = (-1)^neg1 * a1 + lambda * (-1)^neg2 * a2 (mod n); gdigits are
+    u1's signed-w7 comb rows for pallas_gen's fixed-base kernel; flags
+    = (neg1, neg2)."""
     from .pallas_field import auto_tb
     if tb is None:
         tb = auto_tb(m.shape[-1])
