@@ -178,6 +178,27 @@ def main():
             "schnorr_verify_throughput_per_chip", "verifies/s")
         assert oks.all(), "schnorr bench stream failed"
 
+        # Schnorr BATCH verification: one randomized 2B-point MSM
+        # replaces B independent double-mults (batch_verify_tpu).
+        if use_pallas:
+            bm = jax.device_put(jnp.asarray(sch_m[0]))
+            bs = jax.device_put(jnp.asarray(sch_s[0]))
+            bp = jax.device_put(jnp.asarray(sch_p[0]))
+            bfn = jax.jit(schnorrsig.batch_verify_tpu)
+            assert bool(np.asarray(bfn(bm, bs, bp))), \
+                "batch_verify_tpu failed"
+            reps = max(ITERS, 3)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = bfn(bm, bs, bp)
+            r = np.asarray(r)
+            dt = time.perf_counter() - t0
+            assert bool(r)
+            _emit({
+                "metric": "schnorr_batch_verify_throughput_per_chip",
+                "value": round(BATCH * reps / dt, 1),
+                "unit": f"verifies/s (batch={BATCH})"})
+
         # Pedersen commit stream (default generator per lane)
         if use_pallas:
             key = np.tile(np.arange(32, dtype=np.uint8), (BATCH, 1))

@@ -98,6 +98,47 @@ def main():
             "points": npts, "value": round(dt * 1e3, 3), "unit": "ms",
             "virtual": virtual}), file=sys.stderr)
 
+    # Batch-sharded verify weak scaling (the "dp" lane analog): one
+    # valid (msg, sig, px) tiled to PER_DEV lanes per device — the
+    # dataflow is fixed (branch-free lanes), so timing is input-
+    # independent and one host-side signature suffices.
+    from secp256k1_zkp_tpu.modules import schnorrsig
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracle
+    from secp256k1_zkp_tpu.utils import hostcurve
+    d = 0x1111111111111111111111111111111111111111111111111111111111111111
+    msg = b"\x07" * 32
+    sig = oracle.schnorr_sign(msg, d)
+    px = oracle.point_mul(d, oracle.G)[0].to_bytes(32, "big")
+    use_pallas = jax.default_backend() not in ("cpu",)
+    vfn_inner = schnorrsig.verify_tpu if use_pallas else schnorrsig.verify
+    vtimes = {}
+    for nd in sizes:
+        B = PER_DEV * nd
+        mesh = make_mesh(nd)
+        shard = NamedSharding(mesh, P(BATCH_AXIS))
+        msgs = jax.device_put(jnp.asarray(
+            np.tile(np.frombuffer(msg, np.uint8), (B, 1))), shard)
+        sigs = jax.device_put(jnp.asarray(
+            np.tile(np.frombuffer(sig, np.uint8), (B, 1))), shard)
+        pxs = jax.device_put(jnp.asarray(
+            np.tile(np.frombuffer(px, np.uint8), (B, 1))), shard)
+        vfn = jax.jit(vfn_inner)
+        assert np.asarray(vfn(msgs, sigs, pxs)).all()  # compile+check
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = vfn(msgs, sigs, pxs)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / reps
+        vtimes[nd] = dt
+        print(json.dumps({
+            "metric": "verify_sharded_time", "devices": nd,
+            "lanes": B, "value": round(dt * 1e3, 3), "unit": "ms",
+            "virtual": virtual}), file=sys.stderr)
+
+    rows = []
     if len(sizes) > 1:
         eff = times[sizes[0]] / times[sizes[-1]]
         row = {
@@ -107,13 +148,23 @@ def main():
             "virtual": virtual,
             "vs_baseline": round(eff / 0.85, 4)}
         print(json.dumps(row))
+        veff = vtimes[sizes[0]] / vtimes[sizes[-1]]
+        vrow = {
+            "metric": "verify_weak_scaling_efficiency",
+            "value": round(veff, 4),
+            "unit": f"T(1)/T({sizes[-1]}), {PER_DEV} lanes/device",
+            "virtual": virtual,
+            "vs_baseline": round(veff / 0.85, 4)}
+        print(json.dumps(vrow))
         # committed per-round artifact so the scaling trend is visible
         # even when only virtual meshes are reachable (VERDICT r2 w4)
         with open(os.environ.get("SECP_TPU_SCALING_OUT",
                                  "bench_scaling_latest.json"), "w") as f:
             json.dump({"rows": [
-                {"devices": nd, "ms": round(times[nd] * 1e3, 3)}
-                for nd in sizes], **row}, f, indent=1)
+                {"devices": nd, "msm_ms": round(times[nd] * 1e3, 3),
+                 "verify_ms": round(vtimes[nd] * 1e3, 3)}
+                for nd in sizes], "msm": row, "verify": vrow}, f,
+                indent=1)
 
 
 if __name__ == "__main__":

@@ -43,41 +43,41 @@ _C4 = (_C1 + 1) % F.P
 assert _C3 == (_C2 + 1) % F.P and _C4 == (F.P - _C2) % F.P
 
 
-def _x_on_curve(x: LB):
-    """Is x a valid X coordinate (x^3+7 square)?"""
+def _x_on_curve(x: LB, b: int = F.B_COEFF):
+    """Is x a valid X coordinate (x^3+b square)?"""
     return F.is_square(F.norm_weak(F.add(F.mul(F.sqr(x), x),
-                                         F.fe(F.B_COEFF))))
+                                         F.fe(b))))
 
 
-def _x_frac_on_curve(xn: LB, xd: LB):
+def _x_frac_on_curve(xn: LB, xd: LB, b: int = F.B_COEFF):
     """Is xn/xd a valid X coordinate (xd != 0)?  a/b square iff a*b^... :
-    (xn/xd)^3+7 square <=> xn^3*xd + 7*xd^4 square (times xd^4)."""
+    (xn/xd)^3+b square <=> xn^3*xd + b*xd^4 square (times xd^4)."""
     xd2 = F.sqr(xd)
     xd4 = F.sqr(xd2)
-    n = F.add(F.mul(F.mul(F.mul(F.sqr(xn), xn), xd), F.fe(1)),
-              F.mul_int(xd4, 7))
+    n = F.add(F.mul(F.mul(F.sqr(xn), xn), xd),
+              F.mul_int(xd4, b))
     return F.is_square(F.norm_weak(n)) & ~F.is_zero(xd)
 
 
-def xswiftec_frac(u: LB, t: LB):
+def xswiftec_frac(u: LB, t: LB, b: int = F.B_COEFF):
     """(u, t) -> (xn, xd) with x = xn/xd (never fails)."""
     one = F.FP.one(u.batch_shape)
     u1 = F.select(F.is_zero(u), one, F.FP.norm_if_needed(u))
     s = F.sqr(t)
     s = F.select(F.is_zero(t), one, s)
     u2 = F.sqr(u1)
-    g = F.norm_weak(F.add(F.mul(u2, u1), F.fe(F.B_COEFF)))   # u^3+7
+    g = F.norm_weak(F.add(F.mul(u2, u1), F.fe(b)))   # u^3+b
     p = F.norm_weak(F.add(g, s))
     szero = F.is_zero(p)
     s = F.select(szero, F.norm_weak(F.mul_int(s, 4)), s)
     p = F.select(szero, F.norm_weak(F.add(g, s)), p)
     d = F.norm_weak(F.mul_int(F.mul(s, u2), 3))              # 3*s*u^2
     n = F.norm_weak(F.sub(F.mul(d, u1), F.sqr(p)))           # 3su^3-(g+s)^2
-    x3_ok = _x_frac_on_curve(n, d)
+    x3_ok = _x_frac_on_curve(n, d, b)
 
     n2 = F.mul(F.norm_weak(F.add(F.mul(F.fe(_C1), s), F.mul(F.fe(_C2), g))),
                u1)                                           # u*(c1 s+c2 g)
-    x2_ok = _x_frac_on_curve(n2, p)
+    x2_ok = _x_frac_on_curve(n2, p, b)
 
     n1 = F.norm_weak(F.neg(F.norm_weak(F.add(n2, F.mul(p, u1)))))
 
@@ -86,12 +86,12 @@ def xswiftec_frac(u: LB, t: LB):
     return xn, xd
 
 
-def xswiftec(u: LB, t: LB) -> LB:
-    xn, xd = xswiftec_frac(u, t)
+def xswiftec(u: LB, t: LB, b: int = F.B_COEFF) -> LB:
+    xn, xd = xswiftec_frac(u, t, b)
     return F.normalize(F.mul(xn, F.inv(xd)))
 
 
-def xswiftec_inv(x: LB, u: LB, c: int):
+def xswiftec_inv(x: LB, u: LB, c: int, b: int = F.B_COEFF):
     """Branch-c partial inverse: returns (t, ok). c in 0..7.
     x must be a valid X coordinate; u nonzero."""
     assert 0 <= c < 8
@@ -99,12 +99,12 @@ def xswiftec_inv(x: LB, u: LB, c: int):
     u1 = F.FP.norm_if_needed(u)
     if not (c & 2):
         m = F.norm_weak(F.neg(F.norm_weak(F.add(x, u1))))     # -u-x
-        ok = ~_x_on_curve(m)
+        ok = ~_x_on_curve(m, b)
         # s = -(u^3+7)/(u^2+ux+x^2); square iff -(u^3+7)(u^2+ux+x^2) square
         s_neg_den = F.norm_weak(
             F.sub(F.mul(u1, x), F.sqr(F.norm_weak(F.add(u1, x)))))
         # s_neg_den = -(u^2+ux+x^2)
-        g = F.norm_weak(F.add(F.mul(F.sqr(u1), u1), F.fe(F.B_COEFF)))
+        g = F.norm_weak(F.add(F.mul(F.sqr(u1), u1), F.fe(b)))
         ok = ok & F.is_square(F.mul(s_neg_den, g))
         s = F.mul(F.inv(s_neg_den), g)
         v = x
@@ -114,7 +114,7 @@ def xswiftec_inv(x: LB, u: LB, c: int):
         u2 = F.sqr(u1)
         q = F.norm_weak(F.add(F.mul_int(F.mul(s, u2), 3),
                               F.norm_weak(F.add(F.mul_int(F.mul(u2, u1), 4),
-                                                F.fe(4 * F.B_COEFF)))))
+                                                F.fe(4 * b)))))
         q = F.norm_weak(F.neg(F.norm_weak(F.mul(q, s))))
         # q = -s*(4*(u^3+7)+3*u^2*s)
         r, r_ok = F.sqrt(q)
@@ -149,7 +149,7 @@ def _prng32(hasher_state, consumed_bytes, prefix_bytes, cnt):
                           consumed_bytes=consumed_bytes)
 
 
-def _xswiftec_inv_lanes(x: LB, u: LB, branch):
+def _xswiftec_inv_lanes(x: LB, u: LB, branch, b: int = F.B_COEFF):
     """xswiftec_inv with a per-lane (traced) branch index in [0, 8).
 
     Shares the expensive exponentiations between the two branch groups
@@ -157,9 +157,9 @@ def _xswiftec_inv_lanes(x: LB, u: LB, branch):
     selection differs within a group.  Returns (t, ok)."""
     # group A (c & 2 == 0)
     mA = F.norm_weak(F.neg(F.norm_weak(F.add(x, u))))
-    okA = ~_x_on_curve(mA)
+    okA = ~_x_on_curve(mA, b)
     den = F.norm_weak(F.sub(F.mul(u, x), F.sqr(F.norm_weak(F.add(u, x)))))
-    g = F.norm_weak(F.add(F.mul(F.sqr(u), u), F.fe(F.B_COEFF)))
+    g = F.norm_weak(F.add(F.mul(F.sqr(u), u), F.fe(b)))
     okA = okA & F.is_square(F.mul(den, g))
     sA = F.mul(F.inv(den), g)
     vA = x
@@ -196,7 +196,8 @@ def _fe_bcast(c: int, batch_shape):
 
 
 def _encode_common(x: LB, y_odd, hasher_state, prefix_bytes,
-                   consumed_bytes, attempts: int = 64):
+                   consumed_bytes, attempts: int = 64,
+                   b: int = F.B_COEFF):
     """Shared rejection-sampling loop of elligatorswift_var, as a
     lax.scan over attempts.
 
@@ -232,7 +233,7 @@ def _encode_common(x: LB, y_odd, hasher_state, prefix_bytes,
             hasher_state, consumed_bytes, prefix_bytes,
             jnp.broadcast_to(ucnt, batch)))
         uu, _ = F.from_bytes_be(u32b)  # set_b32_mod semantics
-        t_i, ok_i = _xswiftec_inv_lanes(x, uu, branch)
+        t_i, ok_i = _xswiftec_inv_lanes(x, uu, branch, b)
         take = ~found & ok_i
         t_v = F.select(take, t_i, LB(t_v, MASK16)).v
         u_b = jnp.where(take[..., None], u32b, u_b)
@@ -254,7 +255,7 @@ def _midstate(tag: str):
                                 dtype=np.uint32))
 
 
-def encode(pub: G.GE, rnd32):
+def encode(pub: G.GE, rnd32, b: int = F.B_COEFF):
     """Pubkey -> 64-byte encoding (ellswift_encode, main_impl.h:393).
     PRNG: tagged "secp256k1_ellswift_encode" over ser33||0*31||rnd32."""
     ser33 = _ser33(pub)
@@ -270,11 +271,11 @@ def encode(pub: G.GE, rnd32):
     state = H.compress(state, first_words)
     tail = prefix[..., 64:]
     ell64, ok = _encode_common(F.FP.normalize(pub.x), F.is_odd(pub.y),
-                               state, tail, 128)
+                               state, tail, 128, b=b)
     return ell64, ok & ~pub.inf
 
 
-def create(sec32, auxrnd32=None, table=None):
+def create(sec32, auxrnd32=None, table=None, b: int = F.B_COEFF):
     """Seckey -> (ell64, ok) (ellswift_create, main_impl.h:432).
     PRNG: tagged "secp256k1_ellswift_create" over sec32||0*32[||aux]."""
     d, d_ovf = S.from_bytes_be(sec32)
@@ -292,18 +293,19 @@ def create(sec32, auxrnd32=None, table=None):
     state = H.compress(state, first_words)
     tail = prefix[..., 64:]
     ell64, enc_ok = _encode_common(F.FP.normalize(pub.x),
-                                   F.is_odd(pub.y), state, tail, 128)
+                                   F.is_odd(pub.y), state, tail, 128,
+                                   b=b)
     ok = ok & enc_ok
     return jnp.where(ok[..., None], ell64, jnp.zeros_like(ell64)), ok
 
 
-def decode(ell64):
+def decode(ell64, b: int = F.B_COEFF):
     """64 bytes -> (GE, ok=True always) (ellswift_decode, main_impl.h:470):
     y parity = parity of t."""
     u, _ = F.from_bytes_be(ell64[..., :32])    # mod p
     t, _ = F.from_bytes_be(ell64[..., 32:])
-    x = xswiftec(u, t)
-    y2 = F.add(F.mul(F.sqr(x), x), F.fe(F.B_COEFF))
+    x = xswiftec(u, t, b)
+    y2 = F.add(F.mul(F.sqr(x), x), F.fe(b))
     y, _ = F.sqrt(y2)
     y = F.normalize(y)
     t_odd = F.is_odd(F.normalize(t))

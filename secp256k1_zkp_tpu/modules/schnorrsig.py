@@ -121,6 +121,24 @@ def verify(msg32, sig64, px32, table=None, sc=S,
     return ok
 
 
+def _batch_randomizers(msgs32, sigs64, seed32, n):
+    """128-bit batch randomizers z_i from a tagged transcript over all
+    inputs (z_0 = 1): z_i = H(tag, seed || msg_i || r_i) truncated to
+    128 bits — the randomized batch equation's weights."""
+    if seed32 is None:
+        seed32 = jnp.zeros((32,), jnp.uint8)
+    digest = H.words_to_bytes32(H.tagged_hash_bytes(
+        "BIP0340/batch", jnp.concatenate(
+            [jnp.broadcast_to(seed32, (n, 32)), msgs32, sigs64[..., :32]],
+            axis=-1)))
+    z_full, _ = S.from_bytes_be(digest)
+    # truncate to 128 bits: zero the high limbs
+    zv = z_full.v.at[..., 8:].set(0)
+    zv = zv.at[0, :].set(0)
+    zv = zv.at[0, 0].set(1)                       # z_0 = 1
+    return LB(zv, 0xFFFF)
+
+
 def batch_verify(msgs32, sigs64, pxs32, seed32=None):
     """All-or-nothing batch verification of n BIP-340 signatures via a
     random linear combination:
@@ -148,21 +166,7 @@ def batch_verify(msgs32, sigs64, pxs32, seed32=None):
     e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
                                                  ch_msg))
     e, _ = S.from_bytes_be(e_b)
-
-    # transcript: z_i = H(tag, seed || i || all sigs digest) truncated
-    # to 128 bits; z_0 = 1.
-    if seed32 is None:
-        seed32 = jnp.zeros((32,), jnp.uint8)
-    digest = H.words_to_bytes32(H.tagged_hash_bytes(
-        "BIP0340/batch", jnp.concatenate(
-            [jnp.broadcast_to(seed32, (n, 32)), msgs32, sigs64[..., :32]],
-            axis=-1)))
-    z_full, _ = S.from_bytes_be(digest)
-    # truncate to 128 bits: zero the high limbs
-    zv = z_full.v.at[..., 8:].set(0)
-    zv = zv.at[0, :].set(0)
-    zv = zv.at[0, 0].set(1)                       # z_0 = 1
-    z = LB(zv, 0xFFFF)
+    z = _batch_randomizers(msgs32, sigs64, seed32, n)
 
     # sum_i z_i s_i mod n: a column-sum of canonical 16-bit limbs stays
     # exact in uint32 for <= 2^15 terms, so sum hierarchically: chunk
@@ -316,6 +320,90 @@ def verify_tpu(msg32, sig64, px32, tb: int | None = None):
     rx_t = _pad_to(jnp.transpose(F.normalize(rx).v), tb)
     okk = PF.schnorr_check_tpu(x, y, z, inf, rx_t, tb=tb)
     return (okk[:B] & on_curve[:B] & ~pkx_ovf & ~rx_ovf & ~s_ovf)
+
+
+def batch_verify_tpu(msgs32, sigs64, pxs32, seed32=None,
+                     tb: int | None = None):
+    """All-or-nothing batch verification through the TPU kernels —
+    the flagship throughput path.  Same randomized equation as
+    :func:`batch_verify`:
+
+        (sum_i z_i s_i) * G  ==  sum_i z_i R_i + sum_i (z_i e_i) P_i
+
+    Heavy legs in Mosaic kernels: lift_x kernel for R_i and P_i, the
+    mod-n muladd kernel for z_i*e_i and z_i*s_i, the bucketed
+    Pippenger MSM (sort + segmented EC scan) for the 2n-point sum, and
+    the w7 comb kernel for the single G multiple.  Amortized cost per
+    signature is ~2 complete adds + 2 mod-n muls — versus ~130
+    mul-equivalents for 1-by-1 :func:`verify_tpu`.  The reference's
+    analog of this shape is halfagg aggverify routed through
+    ecmult_multi (modules/schnorrsig_halfagg/main_impl.h:108-200,
+    src/ecmult_impl.h:516-621)."""
+    from ..ops import msm
+    from ..ops import pallas_field as PF
+    from ..ops import pallas_gen as PGEN
+
+    n = msgs32.shape[0]
+    if tb is None:
+        tb = PF.auto_tb(n)
+    rx, rx_ovf = F.from_bytes_be(sigs64[..., :32])
+    s, s_ovf = S.from_bytes_be(sigs64[..., 32:])
+    pkx, pkx_ovf = F.from_bytes_be(pxs32)
+
+    pkx_t = _pad_to(jnp.transpose(pkx.v), tb)
+    py_t, p_ok = PF.lift_x_tpu(pkx_t, tb=tb)
+    rx_t = _pad_to(jnp.transpose(rx.v), tb)
+    ry_t, r_ok = PF.lift_x_tpu(rx_t, tb=tb)
+    ok = (jnp.all(p_ok[:n]) & jnp.all(r_ok[:n])
+          & ~jnp.any(rx_ovf) & ~jnp.any(s_ovf) & ~jnp.any(pkx_ovf))
+
+    ch_msg = jnp.concatenate([sigs64[..., :32], pxs32, msgs32], axis=-1)
+    e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
+                                                 ch_msg))
+    e, _ = S.from_bytes_be(e_b)
+    z = _batch_randomizers(msgs32, sigs64, seed32, n)
+
+    z_t = _pad_to(jnp.transpose(z.v), tb)
+    zeros_t = jnp.zeros_like(z_t)
+    no_neg = jnp.zeros(z_t.shape[-1], bool)
+    ze_t = PGEN.muladd_n_tpu(zeros_t, z_t,
+                             _pad_to(jnp.transpose(S.normalize(e).v), tb),
+                             no_neg, tb=tb)
+    zs_t = PGEN.muladd_n_tpu(zeros_t, z_t,
+                             _pad_to(jnp.transpose(S.normalize(s).v), tb),
+                             no_neg, tb=tb)
+
+    # sum_i z_i s_i mod n: canonical 16-bit limbs column-sum exactly in
+    # uint32 for <= 2^15 terms; hierarchical beyond (cf. batch_verify).
+    zs = LB(jnp.transpose(zs_t)[:n], 0xFFFF)
+    CH = 32768
+    if n <= CH:
+        ssum = S.normalize(S.FN.norm_weak(LB(zs.v.sum(axis=0),
+                                             min(n, CH) * 0xFFFF)))
+    else:
+        parts = [S.normalize(S.FN.norm_weak(LB(
+            zs.v[off:off + CH].sum(axis=0),
+            min(CH, n - off) * 0xFFFF))).v
+            for off in range(0, n, CH)]
+        ssum = S.normalize(S.FN.norm_weak(LB(
+            jnp.stack(parts).sum(axis=0), len(parts) * 0xFFFF)))
+
+    ze = LB(jnp.transpose(ze_t)[:n], 0xFFFF)
+    ry = LB(jnp.transpose(ry_t)[:n], 0xFFFF)
+    py = LB(jnp.transpose(py_t)[:n], 0xFFFF)
+    pts = G.GE(LB(jnp.concatenate([rx.v, pkx.v], axis=0), 0xFFFF),
+               LB(jnp.concatenate([ry.v, py.v], axis=0), 0xFFFF),
+               jnp.zeros((2 * n,), bool))
+    ks = LB(jnp.concatenate([S.normalize(z).v, ze.v], axis=0), 0xFFFF)
+    rhs = msm.ecmult_multi(ks, pts)
+
+    # lhs = ssum*G through the comb kernel (one padded block).
+    ssum_t = jnp.zeros((16, 256), jnp.uint32).at[:, 0].set(ssum.v)
+    lx, ly, lz = PGEN.ecmult_gen_tpu(ssum_t, tb=256)
+    lhs = G.GEJ(LB(lx[:, 0], 0xFFFF), LB(ly[:, 0], 0xFFFF),
+                LB(lz[:, 0], 0xFFFF),
+                jnp.all(lz[:, 0] == 0))
+    return ok & G.gej_eq(lhs, rhs)
 
 
 # API parity: the reference distinguishes sign32 (32-byte message) from

@@ -191,9 +191,24 @@ def ecmult_const(k: LB, p: G.GE) -> G.GEJ:
     window = _window()
     k = S.FN.norm_weak(k) if k.bound > MASK16 else k
     tx, ty, tinf = _pt_table(p, window)
+    acc0 = G.gej_infinity(k.batch_shape)
+
+    if window == 1:
+        # compile-small shape: bits extracted in the body (see
+        # _ecmult_shamir1) instead of a module-level 256-way stack.
+        kv = k.v
+
+        def body1(acc, i):
+            acc = G.gej_double(acc)
+            pt = G.ge_gather(tx, ty, tinf, _bit_at(kv, i))
+            return G.gej_add_ge(acc, pt), None
+
+        acc, _ = jax.lax.scan(body1, acc0,
+                              jnp.arange(255, -1, -1, dtype=jnp.int32))
+        return acc
+
     digits = scalar_digits(k, window)  # LSB-first
     digs = jnp.moveaxis(digits, -1, 0)[::-1]  # MSB-first
-    acc0 = G.gej_infinity(k.batch_shape)
 
     def body(acc, d):
         acc = G.gej_double_n(acc, window)
@@ -237,6 +252,57 @@ def ecmult_const_xonly(q: LB, x: LB, known_on_curve: bool = False,
     return x_out, ok & ~rj.inf
 
 
+def _ecmult_shamir1(u1: LB, u2: LB, p: G.GE, table: GenTable) -> G.GEJ:
+    """u1*G + u2*P via ONE combined 4-entry table {inf, P, G, G+P}:
+    per bit, one doubling + one complete mixed add (the Shamir/Straus
+    trick; cf. the shared doubling chain of ecmult_strauss_wnaf,
+    src/ecmult_impl.h:252-375).
+
+    This is the compile-small window=1 shape (config.jnp_window=1,
+    used by the multichip dryrun and 1-core CI): the scan body is the
+    dominant term in XLA:CPU compile time, and folding the two add
+    streams into one halves it.  Same formulas, same results."""
+    batch = u1.batch_shape
+    px = F.FP.norm_if_needed(p.x)
+    py = F.FP.norm_if_needed(p.y)
+    gx_np, gy_np = table.tx[0][1], table.ty[0][1]      # numpy [16]
+    gxb = jnp.broadcast_to(gx_np, (*batch, LIMBS))
+    gyb = jnp.broadcast_to(gy_np, (*batch, LIMBS))
+    g_ge = G.GE(LB(gxb, MASK16), LB(gyb, MASK16),
+                jnp.zeros(batch, bool))
+    # G+P (affine; one shared inversion) — complete adds keep the
+    # P == +-G and P == inf lanes exact.
+    gp_j = G.gej_add_ge(G.gej_from_ge(g_ge), G.GE(px, py, p.inf))
+    gp = G.ge_from_gej(gp_j)
+    zeros = jnp.zeros((*batch, LIMBS), jnp.uint32)
+    tx = jnp.stack([zeros, px.v, gxb, F.FP.norm_if_needed(gp.x).v])
+    ty = jnp.stack([zeros, py.v, gyb, F.FP.norm_if_needed(gp.y).v])
+    tinf = jnp.stack([jnp.ones(batch, bool), p.inf,
+                      jnp.zeros(batch, bool), gp.inf])
+    acc0 = G.gej_infinity(batch)
+    u1v, u2v = u1.v, u2.v
+
+    def body(acc, i):
+        # extract bit i of both scalars IN the body: the 2x256
+        # module-level bit-extraction stacks are the alternative, and
+        # every module-level op costs XLA:CPU compile time (the
+        # dryrun's budget).
+        d = 2 * _bit_at(u1v, i) + _bit_at(u2v, i)
+        acc = G.gej_double(acc)
+        return G.gej_add_ge(acc, G.ge_gather(tx, ty, tinf, d)), None
+
+    acc, _ = jax.lax.scan(body, acc0,
+                          jnp.arange(255, -1, -1, dtype=jnp.int32))
+    return acc
+
+
+def _bit_at(kv, i):
+    """Bit i (traced scalar) of canonical limb tensors [..., 16]."""
+    limb = jax.lax.dynamic_index_in_dim(kv, i // 16, axis=-1,
+                                        keepdims=False)
+    return ((limb >> (i % 16).astype(jnp.uint32)) & 1).astype(jnp.int32)
+
+
 def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
     """u1*G + u2*P — the double-scalar verify engine (cf. ecmult,
     src/ecmult_impl.h:365).  Shares one doubling chain between both
@@ -245,6 +311,10 @@ def ecmult(u1: LB, u2: LB, p: G.GE, table: GenTable | None = None) -> G.GEJ:
     if table is None:
         table = GenTable(_window())
     window = table.window
+    if window == 1:
+        u1 = S.FN.norm_weak(u1) if u1.bound > MASK16 else u1
+        u2 = S.FN.norm_weak(u2) if u2.bound > MASK16 else u2
+        return _ecmult_shamir1(u1, u2, p, table)
     u1 = S.FN.norm_weak(u1) if u1.bound > MASK16 else u1
     u2 = S.FN.norm_weak(u2) if u2.bound > MASK16 else u2
     tx, ty, tinf = _pt_table(p, window)

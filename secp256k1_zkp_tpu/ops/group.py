@@ -196,24 +196,36 @@ def _add_core(U1, S1, U2, S2, Zmul, a_inf, b_x, b_y, b_inf, a: GEJ):
     Inputs are the cross-scaled coordinates (u_i = x_i * Zc^2,
     s_i = y_i * Zc^3 for the common denominator Zc); ``Zmul`` is Zc.
     Returns the complete sum with all degenerate lanes resolved.
+
+    7M+5S (incl. caller) Brier-Joye unified core — the round-3 kernel
+    shape (pallas_group._jp_add_core, mirroring gej_add_ge,
+    src/group_impl.h:731): two muls and two canonicalizations cheaper
+    per add than the lambda-cubing layout it replaced, which matters
+    both on-device and in XLA:CPU compile time (this body is traced
+    inside every ecmult scan).
     """
     T = F.norm_weak(F.add(U1, U2))
     M = F.norm_weak(F.add(S1, S2))
-    Rn = F.sub(F.sqr(T), F.mul(U1, U2))      # x1^2+x1x2+x2^2 (scaled)
-    Rd = F.sub(S1, S2)                        # y1-y2 (scaled)
-    Md = F.sub(U1, U2)                        # x1-x2 (scaled)
-    deg = F.is_zero(M)
-    n = F.select(deg, F.norm_weak(Rd), F.norm_weak(Rn))
-    m = F.select(deg, F.norm_weak(Md), M)
-    inf3 = jnp.logical_and(deg, F.is_zero(Md))
-
-    m2 = F.sqr(m)
-    m3 = F.mul(m2, m)
-    n2 = F.sqr(n)
-    X3 = F.norm_weak(F.sub(n2, F.mul(T, m2)))
-    Y3 = F.norm_weak(F.sub(F.mul(n, F.sub(F.mul(U1, m2), X3)),
-                           F.mul(S1, m3)))
-    Z3 = F.mul(Zmul, m)
+    rr = F.add(F.sqr(T), F.mul(U1, F.neg(U2)))   # T^2 - U1*U2
+    deg = F.FP.is_zero_weak(M)
+    # If lambda = rr/M degenerates (M == 0 but x1 != x2), the equal-
+    # where-both-defined slope (S1-S2)/(U1-U2) = 2*S1/(U1-U2) is used.
+    rr_f = F.select(deg, F.norm_weak(F.mul_int(S1, 2)), F.norm_weak(rr))
+    m_f = F.select(deg, F.norm_weak(F.sub(U1, U2)), M)
+    n = F.sqr(m_f)                                # Malt^2
+    q = F.mul(F.norm_weak(F.neg(T)), n)           # Q = -T*Malt^2
+    # M^3*Malt is Malt^4 when not degenerate, else M (== 0 mod p).
+    n_f = F.select(deg, M, F.sqr(n))
+    t2 = F.sqr(rr_f)                              # Ralt^2
+    Z3 = F.mul(Zmul, m_f)
+    X3 = F.norm_weak(F.add(t2, q))                # X3 = Ralt^2 + Q
+    t4 = F.mul(F.norm_weak(F.add(F.mul_int(X3, 2), q)), rr_f)
+    # Y3 = -(Ralt*(2*X3+Q) + M^3*Malt)/2
+    Y3 = F.half(F.norm_weak(F.neg(F.norm_weak(F.add(t4, n_f)))))
+    # inf: Z3 == 0 covers both a == -b (m_f = x1-x2 = 0 in the
+    # degenerate branch) and the y1 = -y2 completeness argument
+    # (group_impl.h:848-866); Zmul = 0 lanes are overridden below.
+    inf3 = F.FP.is_zero_weak(Z3)
 
     # a infinite -> b (as jacobian); b infinite -> a; both -> infinity.
     bx, by = F.FP.norm_if_needed(b_x), F.FP.norm_if_needed(b_y)

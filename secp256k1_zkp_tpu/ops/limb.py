@@ -257,6 +257,14 @@ class Mod:
         object.__setattr__(self, "_red_limbs", tuple(red_limbs))
         object.__setattr__(self, "_mod_limbs", tuple(int_to_limbs(self.modulus)))
         object.__setattr__(self, "_min_mod_limb", min(self._mod_limbs))
+        # Constants cached as HOST numpy: a jnp constant would live on
+        # the default device and be fetched back at every lowering —
+        # over the axon tunnel that fetch is 0.3-190 s (measured round
+        # 4); numpy embeds directly into the lowered module.
+        object.__setattr__(self, "_red_np",
+                           np.array(red_limbs, dtype=np.uint32))
+        object.__setattr__(self, "_mod_np",
+                           np.array(self._mod_limbs, dtype=np.uint32))
 
     # -- constants ---------------------------------------------------------
     @property
@@ -264,7 +272,7 @@ class Mod:
         return len(self._red_limbs)
 
     def _red_lb(self) -> LB:
-        return LB(jnp.asarray(np.array(self._red_limbs, dtype=np.uint32)), MASK16)
+        return LB(self._red_np, MASK16)
 
     def zero(self, batch_shape=()) -> LB:
         return LB(jnp.zeros((*batch_shape, LIMBS), _u32), 0)
@@ -304,6 +312,8 @@ class Mod:
         This is the analogue of the reference's ``normalize_weak``
         (src/field.h:85).  Output is always mul-ready.
         """
+        if a.bound <= MASK16 and a.v.shape[-1] == LIMBS:
+            return a  # already weak: value < 2^256, limbs 16-bit
         cols = self.fold(a)
         v, bound = cols.v, cols.bound
         pad = [(0, 0)] * (v.ndim - 1)
@@ -335,7 +345,7 @@ class Mod:
         c2 = c2a + c2b
         # KS4: fold c2 (0/1) * red; value is now provably < 2^256, so the
         # final carry-out is zero.
-        redv = jnp.pad(self._red_lb().v, [(0, LIMBS - self.red_len)])
+        redv = np.pad(self._red_np, (0, LIMBS - self.red_len))
         v, _c3 = _ks_carry(v + c2[..., None] * redv)
         return LB(v, MASK16)
 
@@ -347,9 +357,7 @@ class Mod:
         One subtraction suffices because x < 2^256 < 2*modulus.
         """
         x = self.norm_weak(a)
-        red = self._red_lb()
-        redv = jnp.pad(red.v, [(0, LIMBS - red.v.shape[-1])])
-        redv = jnp.broadcast_to(redv, x.v.shape)
+        redv = np.pad(self._red_np, (0, LIMBS - self.red_len))
         t, c = _ks_carry(x.v + redv)
         ge = (c > 0)[..., None]
         return LB(jnp.where(ge, t, x.v), MASK16)
@@ -366,7 +374,7 @@ class Mod:
         assert k * MASK16 + 0 <= U32_MAX, "negate overflow; normalize first"
         karr = np.array([k * l for l in self._mod_limbs], dtype=np.uint64)
         assert karr.max() <= U32_MAX
-        kk = jnp.asarray(karr.astype(np.uint32))
+        kk = karr.astype(np.uint32)
         return LB(kk - a.v, int(karr.max()))
 
     def sub(self, a: LB, b: LB) -> LB:
@@ -396,20 +404,35 @@ class Mod:
         Mirrors fe_half (src/field.h:331-341)."""
         a = self.norm_if_needed(a)
         odd = a.v[..., 0] & 1
-        mv = jnp.asarray(np.array(self._mod_limbs, dtype=np.uint32))
-        t = a.v + mv * odd[..., None]  # bound 2*MASK16 ok
+        t = a.v + self._mod_np * odd[..., None]  # bound 2*MASK16 ok
         t, c = _ks_carry(t)  # c in {0,1} = bit 256
         hi_in = jnp.concatenate([t[..., 1:], c[..., None]], axis=-1)
         half = (t >> 1) | ((hi_in & 1) << (LIMB_BITS - 1))
         return LB(half, MASK16)
 
     # -- comparisons -------------------------------------------------------
+    def is_zero_weak(self, a: LB):
+        """Zero test for an already weak-normalized value (16 limbs,
+        bound <= MASK16, so value < 2^256 < 2*modulus): zero mod m
+        <=> limbs are all-0 or exactly the modulus.  ~6 HLO ops versus
+        ~40 for the canonicalize-then-compare path — this runs inside
+        every complete group add (the degenerate-case test), so its
+        size shows up in every traced scan body."""
+        assert a.bound <= MASK16 and a.v.shape[-1] == LIMBS
+        return (jnp.all(a.v == 0, axis=-1)
+                | jnp.all(a.v == self._mod_np, axis=-1))
+
     def is_zero(self, a: LB):
-        x = self.normalize(a)
-        return jnp.all(x.v == 0, axis=-1)
+        return self.is_zero_weak(self.norm_if_needed(a))
 
     def eq(self, a: LB, b: LB):
-        return jnp.all(self.normalize(a).v == self.normalize(b).v, axis=-1)
+        """a === b (mod m), via one subtraction + the weak zero test
+        (equality mod m IS the definition here; canonicalize-and-compare
+        costs two conditional-subtract normalizations instead of one
+        norm_weak)."""
+        return self.is_zero_weak(
+            self.norm_weak(self.sub(self.norm_if_needed(a),
+                                    self.norm_if_needed(b))))
 
     def is_odd(self, a: LB):
         return (self.normalize(a).v[..., 0] & 1) == 1
@@ -492,9 +515,7 @@ class Mod:
         limbs_be = (hi << 8) | lo          # [..., 16] big-endian 16-bit limbs
         v = limbs_be[..., ::-1]
         x = LB(v, MASK16)
-        red = self._red_lb()
-        redv = jnp.pad(red.v, [(0, LIMBS - red.v.shape[-1])])
-        redv = jnp.broadcast_to(redv, v.shape)
+        redv = np.pad(self._red_np, (0, LIMBS - self.red_len))
         t, c = _ks_carry(v + redv)
         overflow = c > 0
         return LB(jnp.where(overflow[..., None], t, v), MASK16), overflow

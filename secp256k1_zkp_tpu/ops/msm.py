@@ -49,6 +49,32 @@ def _tree_reduce(pts: G.GEJ, axis: int = 0) -> G.GEJ:
     cur = G.GEJ(move(pts.x, axis, 0), move(pts.y, axis, 0),
                 move(pts.z, axis, 0), jnp.moveaxis(pts.inf, axis, 0))
     n = cur.inf.shape[0]
+    if n > 2 and ecmult._window() == 1:
+        # Compile-small shape (config.jnp_window=1, multichip dryrun /
+        # 1-core CI): a sequential lax.scan traces ONE general-add body
+        # instead of log2(n) inlined ones.  The pairwise tree below is
+        # the throughput shape (log depth, full lanes).
+        def norm(p):
+            return (F.FP.norm_if_needed(p.x).v, F.FP.norm_if_needed(p.y).v,
+                    F.FP.norm_if_needed(p.z).v, p.inf)
+
+        def body(c, x):
+            s = G.gej_add(
+                G.GEJ(LB(c[0], MASK16), LB(c[1], MASK16),
+                      LB(c[2], MASK16), c[3]),
+                G.GEJ(LB(x[0], MASK16), LB(x[1], MASK16),
+                      LB(x[2], MASK16), x[3]))
+            return norm(s), None
+
+        first = G.GEJ(LB(cur.x.v[0], cur.x.bound),
+                      LB(cur.y.v[0], cur.y.bound),
+                      LB(cur.z.v[0], cur.z.bound), cur.inf[0])
+        rest = (F.FP.norm_if_needed(cur.x).v[1:],
+                F.FP.norm_if_needed(cur.y).v[1:],
+                F.FP.norm_if_needed(cur.z).v[1:], cur.inf[1:])
+        out, _ = jax.lax.scan(body, norm(first), rest)
+        return G.GEJ(LB(out[0], MASK16), LB(out[1], MASK16),
+                     LB(out[2], MASK16), out[3])
     while n > 1:
         half = (n + 1) // 2
         lo = G.GEJ(LB(cur.x.v[:n // 2 * 2:2], cur.x.bound),

@@ -7,16 +7,22 @@ without a cluster").  Set SECP_TPU_TEST_PLATFORM=tpu to run on real chips.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS",
-                      os.environ.get("SECP_TPU_TEST_PLATFORM", "cpu"))
+# Explicit assignment, NOT setdefault: this image exports
+# JAX_PLATFORMS=axon globally (tunnel plugin), which would silently put
+# the whole suite on the tunneled TPU.  SECP_TPU_TEST_PLATFORM remains
+# the intentional override.
+os.environ["JAX_PLATFORMS"] = os.environ.get("SECP_TPU_TEST_PLATFORM",
+                                             "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags and \
         os.environ["JAX_PLATFORMS"] == "cpu":
-    # opt-level 0: these are correctness tests; XLA CPU's optimization
-    # passes are the dominant cost of this suite on small hosts.
+    # opt-level 1: compile cost is the same as 0 within noise (LLVM
+    # codegen dominates), but 0 leaves scan bodies unfused and the
+    # 256-iteration limb loops then run at per-thunk dispatch cost —
+    # 20-40x slower execution (measured round 4).
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
-        " --xla_backend_optimization_level=0"
+        " --xla_backend_optimization_level=1"
         " --xla_llvm_disable_expensive_passes=true").strip()
 
 import jax  # noqa: E402

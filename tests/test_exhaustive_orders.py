@@ -26,7 +26,7 @@ P = F.P
 GENS = {
     7: (6,  # y^2 = x^3 + 6
         0x66625d13317ffe4463d32cff1ca02b9be5c6d07050b4b05e81cc30dbf5166f0a,
-        0x1e60e897a7c00c7c2df53eb698274ff48ca44e173b25418cff4ab0cf),
+        0x1e60e897a7c00c7c2df53eb698274ff464252f428ca44e173b25418cff4ab0cf),
     13: (2,
          0xa2482ff84bf34edfa51262fde57921dbe0dd2cb7a5914790bc71631fc09704fb,
          0x942536cba3e494923a701cc3ee3e443fdf182aa915b8aa6a166d3b19ba84b045),

@@ -312,3 +312,61 @@ def test_exhaustive_schnorrsig(group, table):
         m, s, p, table=table, sc=SMALL, b_coeff=CURVE_B))(
             jnp.asarray(msg), jnp.asarray(bad2), jnp.asarray(px)))
     assert not ver_bad2.any()
+
+
+def test_exhaustive_extrakeys(group, table):
+    """keypair/xonly sweep at order 13
+    (modules/extrakeys/tests_exhaustive_impl.h): xonly pubkey bytes ==
+    group[i].x, parity == oddness of group[i].y, the high-half mirror
+    symmetry, parse/serialize round-trip, and the even-y secret fold."""
+    secs = np.zeros((ORDER - 1, 32), np.uint8)
+    for i in range(1, ORDER):
+        secs[i - 1, 31] = i
+    d_even, px32, pk_even, parity, ok = jax.jit(
+        lambda s: schnorrsig.keypair_xonly(s, table, sc=SMALL))(
+        jnp.asarray(secs))
+    assert np.asarray(ok).all()
+    px = np.asarray(px32)
+    par = np.asarray(parity)
+    de = np.asarray(d_even.v)[:, 0]
+    for i in range(1, ORDER):
+        x, y = group[i]
+        assert px[i - 1].tobytes() == x.to_bytes(32, "big"), i
+        assert bool(par[i - 1]) == bool(y & 1), i
+        assert int(de[i - 1]) == (ORDER - i if (y & 1) else i), i
+    # mirror: i and ORDER-i share the x coordinate; parities flip
+    for i in range(ORDER // 2 + 1, ORDER):
+        j = ORDER - i
+        assert (px[i - 1] == px[j - 1]).all(), i
+        assert bool(par[i - 1]) != bool(par[j - 1]), i
+    # xonly parse (lift on the tiny curve) -> serialize round-trip
+    ge, lok = jax.jit(lambda p: schnorrsig.lift_x(p, b_coeff=CURVE_B))(
+        jnp.asarray(px))
+    assert np.asarray(lok).all()
+    rt = np.asarray(jax.jit(F.to_bytes_be)(ge.x))
+    assert (rt == px).all()
+
+
+@pytest.mark.slow
+def test_exhaustive_ellswift(group, table):
+    """create -> decode round-trip for every subgroup scalar at order
+    13 (modules/ellswift/tests_exhaustive_impl.h — like the reference,
+    this checks the subgroup's points through the full curve-level
+    SwiftEC maps on y^2 = x^3 + 2)."""
+    from secp256k1_zkp_tpu.modules import ellswift
+
+    secs = np.zeros((ORDER - 1, 32), np.uint8)
+    for i in range(1, ORDER):
+        secs[i - 1, 31] = i
+    ell, ok = jax.jit(lambda s: ellswift.create(s, table=table,
+                                                b=CURVE_B))(
+        jnp.asarray(secs))
+    assert np.asarray(ok).all()
+    ge, dok = jax.jit(lambda e: ellswift.decode(e, b=CURVE_B))(ell)
+    assert np.asarray(dok).all()
+    xs = np.asarray(jax.jit(lambda v: F.normalize(v).v)(ge.x))
+    ys = np.asarray(jax.jit(lambda v: F.normalize(v).v)(ge.y))
+    for i in range(1, ORDER):
+        x, y = group[i]
+        assert limbs_to_int_np(xs[i - 1]) == x, i
+        assert limbs_to_int_np(ys[i - 1]) == y, i
