@@ -1,32 +1,173 @@
 #!/usr/bin/env python
 """Benchmark: batched ECDSA verify throughput on the attached device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the project north star is >= 10M verifies/s on a v5e-8
-(BASELINE.md), i.e. 1.25M verifies/s/chip; vs_baseline is measured
-throughput / 1.25e6 on a single chip.
+Prints ONE JSON line to stdout: {"metric", "value", "unit",
+"vs_baseline"} — emitted and flushed IMMEDIATELY after the first
+measured stream so a stall in any later stage can never produce an
+empty artifact (the reference's bar: the bench always prints its
+table, src/bench.c:15-72; BENCH_r04 went rc=124 with zero output).
 
-Extra per-workload rows (not the headline) can be printed to stderr with
-SECP_TPU_BENCH_ALL=1.
+Robustness rules (learned rounds 3-5):
+  * All signature streams are built HOST-side (windowed jacobian
+    signer below) — no device round-trips before the first metric.
+  * Tracing runs with gc disabled and lowering under
+    jax.transfer_guard("disallow"): any captured device-resident
+    constant becomes a hard error naming the site instead of a
+    0.3-190 s/constant tunnel stall (ops/limb.py:260).
+  * Every non-headline row is fault-isolated; rows stream to stderr
+    and accumulate in bench_all.json as they finish.
+
+Extra rows run by default; SECP_TPU_BENCH_FAST=1 skips them.
+Baseline: north star >= 10M verifies/s on v5e-8 (BASELINE.md), i.e.
+1.25M verifies/s/chip; vs_baseline = measured / 1.25e6.
 """
 
+import gc
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 BATCH = int(os.environ.get("SECP_TPU_BENCH_BATCH", "16384"))
 ITERS = int(os.environ.get("SECP_TPU_BENCH_ITERS", "10"))
 PER_CHIP_TARGET = 10e6 / 8.0
+OUT_PATH = os.environ.get("SECP_TPU_BENCH_ALL_OUT", "bench_all.json")
 
 
-def _rand_inputs(batch, rng):
+# ---------------------------------------------------------------------------
+# Host-side batch construction (pure python ints; ~2 s for 16k sigs).
+# The bench's inputs must not depend on the device being healthy —
+# round 4's bench spent 10 device sign round-trips before its first
+# metric and died when lowering stalled (VERDICT r4).
+# ---------------------------------------------------------------------------
+
+
+def _g_table():
+    """32 x 256 affine windows (d * 2^(8w)) * G, one shared inversion."""
+    from secp256k1_zkp_tpu.utils import hostcurve as hc
+    jpts = []
+    base = hc.jlift(hc.G)
+    for w in range(32):
+        acc = base
+        for d in range(1, 256):
+            jpts.append(acc)
+            acc = hc.jadd(acc, base)
+        base = acc                       # 256 * 2^(8w) * G
+    return hc.batch_affine(jpts)
+
+
+_TAB = None
+
+
+def _mul_g(k):
+    """k*G via the 8-bit window table; returns jacobian (host ints)."""
+    from secp256k1_zkp_tpu.utils import hostcurve as hc
+    acc = None
+    for w in range(32):
+        d = (k >> (8 * w)) & 0xFF
+        if d:
+            acc = hc.jadd(acc, hc.jlift(_TAB[w * 255 + d - 1]))
+    return acc
+
+
+def host_ecdsa_batch(batch, seed=42):
+    """Valid (msg32, sig64, pubkey limb arrays) batch, host-only.
+
+    Signatures follow the ECDSA equations (low-S) with a derived nonce
+    (not RFC6979 — bit-exactness vs the reference nonce is covered by
+    the test suite's oracle; the bench only needs validity)."""
+    global _TAB
+    import hashlib
+    from secp256k1_zkp_tpu.utils import hostcurve as hc
+    if _TAB is None:
+        _TAB = _g_table()
+    rng = np.random.default_rng(seed)
     msgs = rng.integers(0, 256, (batch, 32), dtype=np.uint8)
-    secs = rng.integers(0, 256, (batch, 32), dtype=np.uint8)
-    secs[:, 0] &= 0x7F  # keep < n
-    return msgs, secs
+    pkx = np.zeros((batch, 16), np.uint32)
+    pky = np.zeros((batch, 16), np.uint32)
+    sigs = np.zeros((batch, 64), np.uint8)
+    seedb = rng.bytes(32)
+    N = hc.N
+    ds, ks, Rj, Pj = [], [], [], []
+    for i in range(batch):
+        d = int.from_bytes(hashlib.sha256(seedb + b"d%d" % i).digest(),
+                           "big") % N or 1
+        k = int.from_bytes(hashlib.sha256(seedb + b"k%d" % i).digest(),
+                           "big") % N or 1
+        ds.append(d)
+        ks.append(k)
+        Rj.append(_mul_g(k))
+        Pj.append(_mul_g(d))
+    Ra = hc.batch_affine(Rj)
+    Pa = hc.batch_affine(Pj)
+    for i in range(batch):
+        d, k = ds[i], ks[i]
+        m = int.from_bytes(bytes(msgs[i]), "big") % N
+        r = Ra[i][0] % N
+        s = pow(k, -1, N) * (m + r * d) % N
+        if s > N // 2:
+            s = N - s
+        sigs[i, :32] = np.frombuffer(r.to_bytes(32, "big"), np.uint8)
+        sigs[i, 32:] = np.frombuffer(s.to_bytes(32, "big"), np.uint8)
+        for l in range(16):
+            pkx[i, l] = (Pa[i][0] >> (16 * l)) & 0xFFFF
+            pky[i, l] = (Pa[i][1] >> (16 * l)) & 0xFFFF
+    return msgs, sigs, pkx, pky
+
+
+def host_schnorr_batch(batch, seed=43):
+    """Valid (msg32, sig64, pubx32) BIP-340 batch, host-only."""
+    global _TAB
+    import hashlib
+    from secp256k1_zkp_tpu.utils import hostcurve as hc
+    if _TAB is None:
+        _TAB = _g_table()
+    rng = np.random.default_rng(seed)
+    msgs = rng.integers(0, 256, (batch, 32), dtype=np.uint8)
+    pxs = np.zeros((batch, 32), np.uint8)
+    sigs = np.zeros((batch, 64), np.uint8)
+    seedb = rng.bytes(32)
+    N = hc.N
+    ds, ks, Rj, Pj = [], [], [], []
+    for i in range(batch):
+        d = int.from_bytes(hashlib.sha256(seedb + b"D%d" % i).digest(),
+                           "big") % N or 1
+        k = int.from_bytes(hashlib.sha256(seedb + b"K%d" % i).digest(),
+                           "big") % N or 1
+        ds.append(d)
+        ks.append(k)
+        Rj.append(_mul_g(k))
+        Pj.append(_mul_g(d))
+    Ra = hc.batch_affine(Rj)
+    Pa = hc.batch_affine(Pj)
+
+    def tagged(tag, msg):
+        th = hashlib.sha256(tag.encode()).digest()
+        return hashlib.sha256(th + th + msg).digest()
+
+    for i in range(batch):
+        d, k = ds[i], ks[i]
+        P = Pa[i]
+        if P[1] & 1:
+            d = N - d
+        R = Ra[i]
+        if R[1] & 1:
+            k = N - k
+        e = int.from_bytes(tagged(
+            "BIP0340/challenge",
+            R[0].to_bytes(32, "big") + P[0].to_bytes(32, "big")
+            + bytes(msgs[i])), "big") % N
+        s = (k + e * d) % N
+        pxs[i] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+        sigs[i, :32] = np.frombuffer(R[0].to_bytes(32, "big"), np.uint8)
+        sigs[i, 32:] = np.frombuffer(s.to_bytes(32, "big"), np.uint8)
+    return msgs, sigs, pxs
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
@@ -35,217 +176,243 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/secp_tpu_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from secp256k1_zkp_tpu.modules import ecdsa, eckey
-    from secp256k1_zkp_tpu.ops import scalar as S
+    from secp256k1_zkp_tpu.modules import ecdsa
+    from secp256k1_zkp_tpu.ops import group as G
+    from secp256k1_zkp_tpu.ops.limb import LB, MASK16
 
-    rng = np.random.default_rng(42)
-    msgs_np, secs_np = _rand_inputs(BATCH, rng)
-    msgs = jnp.asarray(msgs_np)
-    secs = jnp.asarray(secs_np)
+    all_rows = []
 
-    @jax.jit
-    def make_batch(msgs, secs):
-        d, _ = S.from_bytes_be(secs)
-        pk, _ = eckey.pubkey_create(d)
-        sig, recid, ok = ecdsa.sign(msgs, secs)
-        return sig, pk, ok
+    def _emit(row, headline=False):
+        all_rows.append(row)
+        stream = sys.stdout if headline else sys.stderr
+        print(json.dumps(row), file=stream, flush=True)
+        try:
+            with open(OUT_PATH, "w") as f:
+                json.dump(all_rows, f, indent=1)
+        except OSError:
+            pass
 
-    sig, pk, ok = jax.block_until_ready(make_batch(msgs, secs))
-    assert np.asarray(ok).all()
+    t0 = time.perf_counter()
+    msgs_np, sigs_np, pkx_np, pky_np = host_ecdsa_batch(BATCH)
+    print(f"# host batch built in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
-    # Stage inputs on device once; the measured loop moves only the
-    # [B] result bits over the tunnel (throughput benchmark semantics —
-    # production batches stream via async H2D copies that overlap the
-    # previous batch's compute).
-    msgs = jax.device_put(msgs)
-    sig = jax.device_put(sig)
-    pk = jax.tree.map(jax.device_put, pk)
+    msgs = jax.device_put(jnp.asarray(msgs_np))
+    sigs = jax.device_put(jnp.asarray(sigs_np))
+    pk = G.GE(LB(jax.device_put(jnp.asarray(pkx_np)), MASK16),
+              LB(jax.device_put(jnp.asarray(pky_np)), MASK16),
+              jax.device_put(jnp.zeros((BATCH,), bool)))
 
     use_pallas = ecdsa._pallas_ok() and \
         not os.environ.get("SECP_TPU_BENCH_JNP")
 
-    @jax.jit
     def verify(msgs, sig, pk):
         if use_pallas:
             return ecdsa.verify_tpu(msgs, sig, pk)
         return ecdsa.verify(msgs, sig, pk)
 
-    out = verify(msgs, sig, pk)
-    assert np.asarray(out).all(), "bench batch failed to verify"
+    # ITERS batches streamed through ONE jitted scan with a single host
+    # read-back: per-iteration fences over the tunnel cost ~30 ms each
+    # and would measure latency, not throughput (docs/PERF.md
+    # "Measurement discipline").  The same host batch is stacked ITERS
+    # times — the scan still executes every iteration (XLA cannot CSE
+    # across scan steps on device data).
+    def stack(a):
+        return jax.device_put(
+            jnp.broadcast_to(a[None], (ITERS, *a.shape)))
 
-    # ITERS distinct batches streamed through ONE jitted scan with a
-    # single host read-back at the end.  On this tunneled device a
-    # device->host sync costs tens of ms regardless of size and
-    # block_until_ready is lazy, so per-iteration np.asarray fences
-    # would measure tunnel latency, not verify throughput.  Production
-    # deployments stream batches exactly like this scan: results leave
-    # the device asynchronously while later batches compute.
-    from secp256k1_zkp_tpu.ops import group as G
-    from secp256k1_zkp_tpu.ops.limb import LB, MASK16
+    msgs_all = stack(jnp.asarray(msgs_np))
+    sigs_all = stack(jnp.asarray(sigs_np))
+    pkx_all = stack(jnp.asarray(pkx_np))
+    pky_all = stack(jnp.asarray(pky_np))
 
-    msgs_all = np.stack([msgs_np] * ITERS)
-    for i in range(ITERS):
-        msgs_all[i, :, 0] ^= np.uint8(i)
-    sigs_l, pkx_l, pky_l, pki_l = [], [], [], []
-    for i in range(ITERS):
-        s_i, pk_i, ok_i = make_batch(jnp.asarray(msgs_all[i]), secs)
-        sigs_l.append(np.asarray(s_i))
-        pkx_l.append(np.asarray(pk_i.x.v))
-        pky_l.append(np.asarray(pk_i.y.v))
-        pki_l.append(np.asarray(pk_i.inf))
-
-    msgs_all = jax.device_put(jnp.asarray(msgs_all))
-    sigs_all = jax.device_put(jnp.asarray(np.stack(sigs_l)))
-    pkx_all = jax.device_put(jnp.asarray(np.stack(pkx_l)))
-    pky_all = jax.device_put(jnp.asarray(np.stack(pky_l)))
-    pki_all = jax.device_put(jnp.asarray(np.stack(pki_l)))
-
-    @jax.jit
-    def verify_stream(msgs_all, sigs_all, pkx_all, pky_all, pki_all):
+    def verify_stream(msgs_all, sigs_all, pkx_all, pky_all):
         def body(c, inp):
-            m, s, px, py, pi = inp
-            pub = G.GE(LB(px, MASK16), LB(py, MASK16), pi)
+            m, s, px, py = inp
+            pub = G.GE(LB(px, MASK16), LB(py, MASK16),
+                       jnp.zeros(px.shape[0], bool))
             return c, verify(m, s, pub)
-        _, oks = jax.lax.scan(
-            body, 0, (msgs_all, sigs_all, pkx_all, pky_all, pki_all))
+        _, oks = jax.lax.scan(body, 0,
+                              (msgs_all, sigs_all, pkx_all, pky_all))
         return oks
 
-    oks = np.asarray(verify_stream(msgs_all, sigs_all, pkx_all,
-                                   pky_all, pki_all))  # warm + check
+    # Trace with gc off (tracer churn is minutes of GC on a 1-core
+    # host) and lower under a transfer guard: a captured device
+    # constant = hard error at the site, not a silent tunnel stall.
+    t0 = time.perf_counter()
+    gc.disable()
+    try:
+        with jax.transfer_guard("disallow"):
+            lowered = jax.jit(verify_stream).trace(
+                msgs_all, sigs_all, pkx_all, pky_all).lower()
+    finally:
+        gc.enable()
+    print(f"# trace+lower in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    print(f"# compile in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    oks = np.asarray(compiled(msgs_all, sigs_all, pkx_all, pky_all))
+    assert oks.shape == (ITERS, BATCH)
     assert oks.all(), "bench stream failed to verify"
     t0 = time.perf_counter()
-    oks = np.asarray(verify_stream(msgs_all, sigs_all, pkx_all,
-                                   pky_all, pki_all))
+    oks = np.asarray(compiled(msgs_all, sigs_all, pkx_all, pky_all))
     dt = time.perf_counter() - t0
-    assert oks.shape == (ITERS, BATCH)
+    assert oks.all()
     ops = BATCH * ITERS / dt
 
-    print(json.dumps({
+    # THE headline row: printed and flushed before anything else runs.
+    _emit({
         "metric": "ecdsa_verify_throughput_per_chip",
         "value": round(ops, 1),
         "unit": "verifies/s",
         "vs_baseline": round(ops / PER_CHIP_TARGET, 4),
-    }))
+    }, headline=True)
 
-    if os.environ.get("SECP_TPU_BENCH_ALL"):
-        from secp256k1_zkp_tpu.modules import schnorrsig, generator
-        from secp256k1_zkp_tpu.ops import scalar as SS
+    if os.environ.get("SECP_TPU_BENCH_FAST"):
+        return
 
-        all_rows = [{
-            "metric": "ecdsa_verify_throughput_per_chip",
-            "value": round(ops, 1), "unit": "verifies/s",
-            "vs_baseline": round(ops / PER_CHIP_TARGET, 4)}]
-
-        def _emit(row):
-            all_rows.append(row)
-            print(json.dumps(row), file=sys.stderr)
-            with open(os.environ.get("SECP_TPU_BENCH_ALL_OUT",
-                                     "bench_all.json"), "w") as f:
-                json.dump(all_rows, f, indent=1)
-
-        def stream_rate(fn, ins, name, unit):
-            @jax.jit
-            def run(*stacked):
-                def body(c, inp):
-                    return c, fn(*inp)
-                _, o = jax.lax.scan(body, 0, stacked)
-                return o
-            out = np.asarray(run(*ins))
+    # ---- extra rows: each stage isolated so one failure cannot cost
+    # the others (they all land in bench_all.json + stderr) ----------
+    def stage(name, fn):
+        try:
             t0 = time.perf_counter()
-            out = np.asarray(run(*ins))
-            dt = time.perf_counter() - t0
-            _emit({
-                "metric": name,
-                "value": round(BATCH * ITERS / dt, 1),
-                "unit": unit})
-            return out
+            fn()
+            print(f"# {name} done in {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        except Exception:
+            print(f"# {name} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+            all_rows.append({"metric": name, "error": "failed"})
 
-        # Schnorr verify stream
-        sch_m, sch_s, sch_p = [], [], []
-        for i in range(ITERS):
-            mm = jnp.asarray(msgs_all[i])
-            d, _ = S.from_bytes_be(secs)
-            sg, ok_s = jax.jit(schnorrsig.sign)(mm, secs)
-            _, px32, _, _, _ = schnorrsig.keypair_xonly(secs)
-            sch_m.append(np.asarray(mm))
-            sch_s.append(np.asarray(sg))
-            sch_p.append(np.asarray(px32))
-        oks = stream_rate(
-            (schnorrsig.verify_tpu if use_pallas else schnorrsig.verify),
-            (jax.device_put(jnp.asarray(np.stack(sch_m))),
-             jax.device_put(jnp.asarray(np.stack(sch_s))),
-             jax.device_put(jnp.asarray(np.stack(sch_p)))),
-            "schnorr_verify_throughput_per_chip", "verifies/s")
-        assert oks.all(), "schnorr bench stream failed"
+    from secp256k1_zkp_tpu.modules import schnorrsig
 
-        # Schnorr BATCH verification: one randomized 2B-point MSM
-        # replaces B independent double-mults (batch_verify_tpu).
-        if use_pallas:
-            bm = jax.device_put(jnp.asarray(sch_m[0]))
-            bs = jax.device_put(jnp.asarray(sch_s[0]))
-            bp = jax.device_put(jnp.asarray(sch_p[0]))
-            bfn = jax.jit(schnorrsig.batch_verify_tpu)
-            assert bool(np.asarray(bfn(bm, bs, bp))), \
-                "batch_verify_tpu failed"
-            reps = max(ITERS, 3)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                r = bfn(bm, bs, bp)
-            r = np.asarray(r)
-            dt = time.perf_counter() - t0
-            assert bool(r)
-            _emit({
-                "metric": "schnorr_batch_verify_throughput_per_chip",
-                "value": round(BATCH * reps / dt, 1),
-                "unit": f"verifies/s (batch={BATCH})"})
+    sch = {}
 
-        # Pedersen commit stream (default generator per lane)
-        if use_pallas:
+    def schnorr_stream():
+        m, s, p = host_schnorr_batch(BATCH)
+        sch.update(m=m, s=s, p=p)
+        m_all, s_all, p_all = (stack(jnp.asarray(a)) for a in (m, s, p))
+        fn = schnorrsig.verify_tpu if use_pallas else schnorrsig.verify
+
+        @jax.jit
+        def run(ms, ss, ps):
+            def body(c, inp):
+                return c, fn(*inp)
+            _, o = jax.lax.scan(body, 0, (ms, ss, ps))
+            return o
+        out = np.asarray(run(m_all, s_all, p_all))
+        assert out.all(), "schnorr stream failed"
+        t0 = time.perf_counter()
+        out = np.asarray(run(m_all, s_all, p_all))
+        dt = time.perf_counter() - t0
+        _emit({"metric": "schnorr_verify_throughput_per_chip",
+               "value": round(BATCH * ITERS / dt, 1),
+               "unit": "verifies/s"})
+
+    stage("schnorr_verify", schnorr_stream)
+
+    def schnorr_batchverify():
+        # one randomized 2B-point MSM replaces B double-mults
+        bm = jax.device_put(jnp.asarray(sch["m"]))
+        bs = jax.device_put(jnp.asarray(sch["s"]))
+        bp = jax.device_put(jnp.asarray(sch["p"]))
+        bfn = jax.jit(schnorrsig.batch_verify_tpu if use_pallas
+                      else schnorrsig.batch_verify)
+        assert bool(np.asarray(bfn(bm, bs, bp))), "batch_verify failed"
+        reps = max(ITERS, 3)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = bfn(bm, bs, bp)
+        r = np.asarray(r)
+        dt = time.perf_counter() - t0
+        assert bool(r)
+        _emit({"metric": "schnorr_batch_verify_throughput_per_chip",
+               "value": round(BATCH * reps / dt, 1),
+               "unit": f"verifies/s (batch={BATCH})"})
+
+    if sch:
+        stage("schnorr_batch_verify", schnorr_batchverify)
+
+    if use_pallas:
+        from secp256k1_zkp_tpu.modules import generator
+
+        def pedersen():
+            rng = np.random.default_rng(7)
             key = np.tile(np.arange(32, dtype=np.uint8), (BATCH, 1))
             Hgen, okg = generator.generator_generate(jnp.asarray(key))
-            blinds = rng.integers(0, 256, (ITERS, BATCH, 32), dtype=np.uint8)
+            blinds = rng.integers(0, 256, (ITERS, BATCH, 32),
+                                  dtype=np.uint8)
             blinds[..., 0] &= 0x7F
-            vhi = rng.integers(0, 2 ** 31, (ITERS, BATCH), dtype=np.int64
-                               ).astype(np.uint32)
-            vlo = rng.integers(0, 2 ** 31, (ITERS, BATCH), dtype=np.int64
-                               ).astype(np.uint32)
+            vhi = rng.integers(0, 2 ** 31, (ITERS, BATCH),
+                               dtype=np.int64).astype(np.uint32)
+            vlo = rng.integers(0, 2 ** 31, (ITERS, BATCH),
+                               dtype=np.int64).astype(np.uint32)
 
-            def commit_fn(b32, hi, lo):
-                c33, okc = generator.pedersen_commit_tpu(b32, hi, lo, Hgen)
-                return c33[..., 0]
+            @jax.jit
+            def run(b_all, hi_all, lo_all, Hg):
+                def body(c, inp):
+                    b32, hi, lo = inp
+                    c33, okc = generator.pedersen_commit_tpu(
+                        b32, hi, lo, Hg)
+                    return c, c33[..., 0]
+                _, o = jax.lax.scan(body, 0, (b_all, hi_all, lo_all))
+                return o
+            args = (jax.device_put(jnp.asarray(blinds)),
+                    jax.device_put(jnp.asarray(vhi)),
+                    jax.device_put(jnp.asarray(vlo)), Hgen)
+            np.asarray(run(*args))
+            t0 = time.perf_counter()
+            np.asarray(run(*args))
+            dt = time.perf_counter() - t0
+            _emit({"metric": "pedersen_commit_throughput_per_chip",
+                   "value": round(BATCH * ITERS / dt, 1),
+                   "unit": "commits/s"})
 
-            stream_rate(commit_fn,
-                        (jax.device_put(jnp.asarray(blinds)),
-                         jax.device_put(jnp.asarray(vhi)),
-                         jax.device_put(jnp.asarray(vlo))),
-                        "pedersen_commit_throughput_per_chip", "commits/s")
+        stage("pedersen_commit", pedersen)
 
-        # Sign paths: the round-2 Pallas fixed-base pipeline when on
-        # TPU (pallas_gen.ecmult_gen_tpu + fused epilogues), else jnp.
-        if use_pallas:
-            from secp256k1_zkp_tpu.modules import ecdsa as _E
-            secs_all = np.broadcast_to(secs_np, (ITERS, BATCH, 32)).copy()
-            for i in range(ITERS):
-                secs_all[i, :, 1] ^= np.uint8(i)
-                secs_all[i, :, 0] &= 0x7F
+        def signs():
+            rng = np.random.default_rng(11)
+            secs_all = rng.integers(0, 256, (ITERS, BATCH, 32),
+                                    dtype=np.uint8)
+            secs_all[..., 0] &= 0x7F
             secs_all = jax.device_put(jnp.asarray(secs_all))
-            stream_rate(lambda m, s: _E.sign_tpu(m, s)[0][..., 0],
-                        (msgs_all, secs_all),
-                        "ecdsa_sign_throughput_per_chip", "signs/s")
-            stream_rate(lambda m, s: schnorrsig.sign_tpu(m, s)[0][..., 0],
-                        (msgs_all, secs_all),
-                        "schnorr_sign_throughput_per_chip", "signs/s")
 
-            # MSM: bucketed Pippenger at 2^20 points (the multi-chip
-            # unit of work; ref harness src/bench_ecmult.c:309-346).
+            for name, fn in (
+                    ("ecdsa_sign_throughput_per_chip",
+                     lambda m, s: ecdsa.sign_tpu(m, s)[0][..., 0]),
+                    ("schnorr_sign_throughput_per_chip",
+                     lambda m, s: schnorrsig.sign_tpu(m, s)[0][..., 0])):
+                @jax.jit
+                def run(ms, ss, fn=fn):
+                    def body(c, inp):
+                        return c, fn(*inp)
+                    _, o = jax.lax.scan(body, 0, (ms, ss))
+                    return o
+                np.asarray(run(msgs_all, secs_all))
+                t0 = time.perf_counter()
+                np.asarray(run(msgs_all, secs_all))
+                dt = time.perf_counter() - t0
+                _emit({"metric": name,
+                       "value": round(BATCH * ITERS / dt, 1),
+                       "unit": "signs/s"})
+
+        stage("sign_paths", signs)
+
+        def msm_bench():
+            # 2^20-point MSM (the multi-chip unit of work; reference
+            # harness src/bench_ecmult.c:309-346)
             from secp256k1_zkp_tpu.ops import msm
             from secp256k1_zkp_tpu.ops import pallas_gen as PGEN
+            rng = np.random.default_rng(13)
             NP_MSM = 1 << 20
-            a = rng.integers(0, 1 << 16, (16, NP_MSM), dtype=np.int64
-                             ).astype(np.uint32)
+            a = rng.integers(0, 1 << 16, (16, NP_MSM),
+                             dtype=np.int64).astype(np.uint32)
             a[15] &= 0x7FFF  # < n
-            kk = rng.integers(0, 1 << 16, (16, NP_MSM), dtype=np.int64
-                              ).astype(np.uint32)
+            kk = rng.integers(0, 1 << 16, (16, NP_MSM),
+                              dtype=np.int64).astype(np.uint32)
             kk[15] &= 0x7FFF
             x, y, z = PGEN.ecmult_gen_tpu(jnp.asarray(a))
             xa, ya = PGEN.affine_xy_tpu(x, y, z)
@@ -259,23 +426,13 @@ def main():
             reps = 3
             for _ in range(reps):
                 r0 = msm_fn(ks, pts)
-            np.asarray(r0.x.v)  # np.asarray is the only real fence here
+            np.asarray(r0.x.v)
             dt = time.perf_counter() - t0
-            _emit({
-                "metric": "msm_pippenger_points_per_s",
-                "value": round(NP_MSM * reps / dt, 1),
-                "unit": f"points/s (n={NP_MSM})"})
-        else:
-            t0 = time.perf_counter()
-            s2 = None
-            for _ in range(2):
-                s2 = make_batch(msgs, secs)
-            np.asarray(s2[0])
-            dts = time.perf_counter() - t0
-            _emit({
-                "metric": "ecdsa_sign+keygen_throughput_per_chip",
-                "value": round(BATCH * 2 / dts, 1),
-                "unit": "signs/s"})
+            _emit({"metric": "msm_pippenger_points_per_s",
+                   "value": round(NP_MSM * reps / dt, 1),
+                   "unit": f"points/s (n={NP_MSM})"})
+
+        stage("msm_2^20", msm_bench)
 
 
 if __name__ == "__main__":

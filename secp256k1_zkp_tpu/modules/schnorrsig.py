@@ -121,16 +121,58 @@ def verify(msg32, sig64, px32, table=None, sc=S,
     return ok
 
 
-def _batch_randomizers(msgs32, sigs64, seed32, n):
-    """128-bit batch randomizers z_i from a tagged transcript over all
-    inputs (z_0 = 1): z_i = H(tag, seed || msg_i || r_i) truncated to
-    128 bits — the randomized batch equation's weights."""
+def _batch_digest(msgs32, sigs64, pxs32, n):
+    """One 32-byte digest binding EVERY batch input — each pk_i, msg_i
+    and the full 64-byte sig_i (both r and s halves).
+
+    TPU shape: parallel per-lane leaf hashes + a log2(n) binary tree of
+    batched tagged hashes, replacing the reference's serial running
+    transcript (halfagg chains every prefix into one hash,
+    src/modules/schnorrsig_halfagg/main_impl.h:153-165); both bind the
+    whole batch before any randomizer is squeezed out."""
+    leaves = H.words_to_bytes32(H.tagged_hash_bytes(
+        "BIP0340/batch/leaf",
+        jnp.concatenate([pxs32, msgs32, sigs64], axis=-1)))   # [n, 32]
+    k = n
+    nodes = leaves
+    while k > 1:
+        if k % 2:
+            nodes = jnp.concatenate(
+                [nodes, jnp.zeros((1, 32), jnp.uint8)], axis=0)
+            k += 1
+        pairs = nodes.reshape(k // 2, 64)
+        nodes = H.words_to_bytes32(H.tagged_hash_bytes(
+            "BIP0340/batch/node", pairs))
+        k //= 2
+    return nodes[0]                                           # [32]
+
+
+def _batch_randomizers(msgs32, sigs64, pxs32, seed32, n):
+    """128-bit batch randomizers z_i (z_0 = 1):
+
+        z_i = H(tag="BIP0340/batch", seed || root || i) mod 2^128
+
+    where ``root`` is :func:`_batch_digest` over the ENTIRE batch.
+    Because root depends on every s_i (and pk_i), no z_i is predictable
+    before all signatures are fixed — the unforgeability requirement of
+    randomized batch validation (BIP-340; the round-4 per-lane
+    derivation z_i = H(seed||m_i||r_i) omitted s and pk and admitted a
+    confirmed two-lane cancellation forgery, VERDICT r4).  ``seed32``
+    adds caller entropy but is not required for soundness: the
+    transcript-derived z is the same discipline as the reference's
+    deterministic halfagg randomizers."""
     if seed32 is None:
         seed32 = jnp.zeros((32,), jnp.uint8)
-    digest = H.words_to_bytes32(H.tagged_hash_bytes(
-        "BIP0340/batch", jnp.concatenate(
-            [jnp.broadcast_to(seed32, (n, 32)), msgs32, sigs64[..., :32]],
-            axis=-1)))
+    root = _batch_digest(msgs32, sigs64, pxs32, n)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    i_b = jnp.stack([(idx >> 24) & 0xFF, (idx >> 16) & 0xFF,
+                     (idx >> 8) & 0xFF, idx & 0xFF],
+                    axis=-1).astype(jnp.uint8)
+    zmsg = jnp.concatenate(
+        [jnp.broadcast_to(seed32, (n, 32)),
+         jnp.broadcast_to(root, (n, 32)), i_b], axis=-1)
+    digest = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/batch",
+                                                    zmsg))
     z_full, _ = S.from_bytes_be(digest)
     # truncate to 128 bits: zero the high limbs
     zv = z_full.v.at[..., 8:].set(0)
@@ -146,8 +188,9 @@ def batch_verify(msgs32, sigs64, pxs32, seed32=None):
         (sum_i z_i s_i) * G  ==  sum_i z_i R_i + sum_i (z_i e_i) P_i
 
     with independent 128-bit randomizers z_i (z_0 = 1) derived from a
-    tagged transcript over all inputs — the standard Schnorr batch
-    equation (upstream's planned batch API; the halfagg verifier,
+    tagged transcript binding EVERY (pk_i, msg_i, sig_i) — see
+    :func:`_batch_randomizers` — the standard Schnorr batch equation
+    (upstream's planned batch API; the halfagg verifier,
     modules/schnorrsig_halfagg/main_impl.h:108, is the chained-z
     special case).  Inputs have shape [n, 32]/[n, 64]; returns a scalar
     bool (True iff every signature is valid, except with negligible
@@ -166,7 +209,7 @@ def batch_verify(msgs32, sigs64, pxs32, seed32=None):
     e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
                                                  ch_msg))
     e, _ = S.from_bytes_be(e_b)
-    z = _batch_randomizers(msgs32, sigs64, seed32, n)
+    z = _batch_randomizers(msgs32, sigs64, pxs32, seed32, n)
 
     # sum_i z_i s_i mod n: a column-sum of canonical 16-bit limbs stays
     # exact in uint32 for <= 2^15 terms, so sum hierarchically: chunk
@@ -361,7 +404,7 @@ def batch_verify_tpu(msgs32, sigs64, pxs32, seed32=None,
     e_b = H.words_to_bytes32(H.tagged_hash_bytes("BIP0340/challenge",
                                                  ch_msg))
     e, _ = S.from_bytes_be(e_b)
-    z = _batch_randomizers(msgs32, sigs64, seed32, n)
+    z = _batch_randomizers(msgs32, sigs64, pxs32, seed32, n)
 
     z_t = _pad_to(jnp.transpose(z.v), tb)
     zeros_t = jnp.zeros_like(z_t)
@@ -391,9 +434,13 @@ def batch_verify_tpu(msgs32, sigs64, pxs32, seed32=None,
     ze = LB(jnp.transpose(ze_t)[:n], 0xFFFF)
     ry = LB(jnp.transpose(ry_t)[:n], 0xFFFF)
     py = LB(jnp.transpose(py_t)[:n], 0xFFFF)
+    # failed lifts carry garbage y limbs: mark those lanes infinity so
+    # the MSM sees the identity (the final `ok &` gate already rejects
+    # the batch, but no caller of rhs should ever read undefined
+    # points; same discipline as batch_verify's inf propagation)
     pts = G.GE(LB(jnp.concatenate([rx.v, pkx.v], axis=0), 0xFFFF),
                LB(jnp.concatenate([ry.v, py.v], axis=0), 0xFFFF),
-               jnp.zeros((2 * n,), bool))
+               jnp.concatenate([~r_ok[:n], ~p_ok[:n]], axis=0))
     ks = LB(jnp.concatenate([S.normalize(z).v, ze.v], axis=0), 0xFFFF)
     rhs = msm.ecmult_multi(ks, pts)
 

@@ -51,9 +51,17 @@ def auto_tb(B: int, cap: int = 4096) -> int:
 _RED_LO = 977
 
 
+@partial(jax.jit, inline=False)
 def _mul_limbs(a, b):
     """Schoolbook 16x16 product of limb-vector lists -> weak-normalized
-    16-limb list.  a, b: lists of 16 [TB] uint32 (each <= 0xFFFF)."""
+    16-limb list.  a, b: lists of 16 [TB] uint32 (each <= 0xFFFF).
+
+    jit-wrapped (round 5): the ~1.4k-bind body traces ONCE per shape
+    signature and every further textual instance stages a single call
+    eqn.  Unwrapped, a kernel with ~100 textual muls paid ~170 us per
+    bind at every fresh-process trace — the mechanism behind the
+    BENCH_r04 rc=124 stall (verify_tpu traced >500 s host-side).
+    Mosaic inlines the call at lowering; emitted code is unchanged."""
     z = jnp.zeros_like(a[0])
     lo = [z] * 31
     hi = [z] * 31
@@ -68,6 +76,7 @@ def _mul_limbs(a, b):
     return _reduce_cols(cols)
 
 
+@partial(jax.jit, inline=False)
 def _sqr_limbs(a):
     """Squaring: exploits symmetry (i<j doubled) — ~half the products.
 

@@ -46,43 +46,61 @@ from .pallas_scalar import (NW7, N_ORDER, _c16, _canon_n, _is_gt_const,
 _RED_N = _c16(2 ** 256 - N_ORDER)
 _N_HALF = (N_ORDER - 1) // 2
 COMB_ENTRIES = 64   # signed-w7 magnitudes 1..64
+_TAB_STRIDE = 128   # table columns per window (Mosaic lane alignment)
 
 
 @lru_cache(maxsize=1)
-def _comb_tables_int():
-    """[v][d] = (x, y) int-limb tuples of ((d+1) * 2^(7v) mod n) * G.
+def _comb_tables_np():
+    """np [32, 37*64] uint32: column 64v + (d-1) holds the x‖y limbs
+    (limb-major) of ((d) * 2^(7v) mod n) * G.
 
     One 64-entry table per digit position: with per-window tables no
     doublings are spent on the fixed base at all — 37 adds replace the
     round-2 quarters design's 52 adds + 65 doublings (the TPU-shaped
     descendant of the reference's signed-digit multi-comb with its
     per-block precomputed tables, src/ecmult_gen_impl.h:54-116 and
-    precomputed_ecmult_gen.c)."""
-    from ..utils import hostcurve
-    tabs = []
+    precomputed_ecmult_gen.c).  Shipped into the kernel as a VMEM input
+    (303 KiB) — Pallas rejects non-scalar captured constants, and a
+    limb-major layout makes each entry a [32, 1] column that broadcasts
+    along lanes for free."""
+    from ..utils import hostcurve as hc
+    # d * 2^(7v) * G by jacobian accumulation (base_{v+1} = 128*base_v,
+    # entry_d = entry_{d-1} + base) + ONE shared Montgomery inversion —
+    # the affine-add path paid a pow() inversion per entry (~49 s of
+    # host time per fresh process, measured round 5).
+    jpts = []
+    base = hc.jlift(hc.G)
     for v in range(NW7):
-        base = pow(2, 7 * v, hostcurve.N)
-        tab = []
+        acc = base
         for d in range(1, COMB_ENTRIES + 1):
-            x, y = hostcurve.mul((d * base) % hostcurve.N)
-            tab.append((_c16(x), _c16(y)))
-        tabs.append(tuple(tab))
-    return tuple(tabs)
+            jpts.append(acc)
+            acc = hc.jadd(acc, base)
+        for _ in range(7):
+            base = hc.jdouble(base)
+    cols = [list(_c16(x)) + list(_c16(y))
+            for x, y in hc.batch_affine(jpts)]
+    tab = np.array(cols, np.uint32).reshape(NW7, COMB_ENTRIES, 32)
+    # pad each window block to a 128-column stride: Mosaic requires
+    # dynamic lane-dim slice starts to be 128-aligned
+    tab = np.pad(tab, ((0, 0), (0, _TAB_STRIDE - COMB_ENTRIES), (0, 0)))
+    return tab.reshape(NW7 * _TAB_STRIDE, 32).T.copy()
 
 
-def _gather_const(tab, d):
-    """Select-of-immediates over an (x,y) int-limb table; d in
-    1..len(tab) (d == 0 is masked by the caller's inf flag)."""
-    x0, y0 = tab[0]
-    gx = FE([jnp.zeros_like(d) + int(c) for c in x0], MASK16)
-    gy = FE([jnp.zeros_like(d) + int(c) for c in y0], MASK16)
-    for e in range(2, len(tab) + 1):
-        m = d == e
-        ex, ey = tab[e - 1]
-        gx = FE([jnp.where(m, jnp.uint32(c), v)
-                 for c, v in zip(ex, gx.l)], MASK16)
-        gy = FE([jnp.where(m, jnp.uint32(c), v)
-                 for c, v in zip(ey, gy.l)], MASK16)
+def _gather_const(wtab, d):
+    """Stacked full-table cmov scan over a [32, 64] window table value
+    (one column per entry, x‖y limb-major); d in 1..64 (d == 0 is
+    masked by the caller's inf flag).
+
+    One [32, TB] select chain instead of 63x32 per-limb selects — the
+    same emitted vselects, ~13x fewer traced binds (round-5 trace-cost
+    fix; cf. the reference's full-table cmov scan,
+    src/ecmult_gen_impl.h:237-249)."""
+    acc = jnp.broadcast_to(wtab[:, 0:1], (2 * LIMBS, d.shape[-1]))
+    for e in range(2, COMB_ENTRIES + 1):
+        m = (d == e)[None, :]
+        acc = jnp.where(m, wtab[:, e - 1:e], acc)
+    gx = FE([acc[i] for i in range(LIMBS)], MASK16)
+    gy = FE([acc[LIMBS + i] for i in range(LIMBS)], MASK16)
     return gx, gy
 
 
@@ -107,29 +125,38 @@ def _gen_kernel(*refs, blinded=False, pairs=1):
     ``pairs`` is the same unroll-and-jam as the GLV kernel's: the
     block's lanes split into independent column groups whose 37-add
     dependency chains interleave in one instruction stream."""
+    from jax.experimental import pallas as pl
+
     if blinded:
-        d_ref, bx_ref, by_ref, ox_ref, oy_ref, oz_ref = refs
+        d_ref, tab_ref, bx_ref, by_ref, ox_ref, oy_ref, oz_ref = refs
     else:
-        d_ref, ox_ref, oy_ref, oz_ref = refs
-    tabs = _comb_tables_int()
+        d_ref, tab_ref, ox_ref, oy_ref, oz_ref = refs
     tb_full = d_ref.shape[-1]
     assert tb_full % pairs == 0
     hw = tb_full // pairs
 
-    def add_step(acc, i, cols):
-        dg = d_ref[i, cols]
-        mag = dg & 0xFF
-        sgn = dg >> 8
-        # rows are MSB-first: row i is digit position NW7-1-i
-        gx, gy = _gather_const(tabs[NW7 - 1 - i], mag)
-        gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
-        return jp_add_aff(acc, gx, gy, (mag == 0).astype(jnp.uint32))
-
     colgroups = [slice(h * hw, (h + 1) * hw) for h in range(pairs)]
-    accs = [jp_inf(d_ref[0, cols]) for cols in colgroups]
-    for i in range(NW7):
-        accs = [add_step(acc, i, cols)
-                for acc, cols in zip(accs, colgroups)]
+
+    def run_group(cols):
+        # fori over the 37 windows (the adds are serially dependent, so
+        # rolling costs no ILP; round-5 trace-cost fix — the unrolled
+        # form re-traced the complete add 37x per group).
+        def body(i, acc):
+            dg = d_ref[i, cols]
+            mag = dg & 0xFF
+            sgn = dg >> 8
+            # rows are MSB-first: row i is digit position NW7-1-i, and
+            # its 64 table columns start at a 128-aligned stride
+            wtab = tab_ref[:, pl.dslice((NW7 - 1 - i) * _TAB_STRIDE,
+                                        _TAB_STRIDE)]
+            gx, gy = _gather_const(wtab, mag)
+            gy = fe_select(sgn != 0, fe_weak(fe_neg(gy)), gy)
+            return jp_add_aff(acc, gx, gy,
+                              (mag == 0).astype(jnp.uint32))
+
+        return jax.lax.fori_loop(0, NW7, body, jp_inf(d_ref[0, cols]))
+
+    accs = [run_group(cols) for cols in colgroups]
     for h, (acc, cols) in enumerate(zip(accs, colgroups)):
         tb = d_ref[0, cols]
         if blinded:
@@ -155,11 +182,15 @@ def _gen_call(tb: int, blinded: bool = False):
     while pairs > 1 and (tb % pairs or (tb // pairs) % 256):
         pairs //= 2
 
+    tab_np = _comb_tables_np()
+
     @jax.jit
     def run(digs, *gb):
         B = digs.shape[-1]
         spec16 = pl.BlockSpec((LIMBS, tb), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec(tab_np.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
         return pl.pallas_call(
             partial(_gen_kernel, blinded=blinded, pairs=pairs),
             out_shape=(
@@ -169,10 +200,10 @@ def _gen_call(tb: int, blinded: bool = False):
             ),
             grid=(B // tb,),
             in_specs=[pl.BlockSpec((NW7, tb), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)]
+                                   memory_space=pltpu.VMEM), tab_spec]
             + ([spec16, spec16] if blinded else []),
             out_specs=(spec16, spec16, spec16),
-        )(digs, *gb)
+        )(digs, jnp.asarray(tab_np), *gb)
 
     return run
 

@@ -21,7 +21,7 @@ to the window's field ops.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -34,16 +34,36 @@ _P_LIMBS = tuple(((2 ** 256 - 2 ** 32 - 977) >> (16 * i)) & 0xFFFF
                  for i in range(16))
 _MIN_P_LIMB = min(_P_LIMBS)  # 0xFC2F
 
+# Trace-cost containment (round 5): the group formulas below are
+# jit-wrapped (inline=False) so each unique (shape, bound) signature
+# traces ONCE per process and every further textual instance inside a
+# kernel stages a single call eqn.  Without this, a fresh-process trace
+# of the verify pipeline re-traced ~1.5M primitive binds at ~170 us
+# each (>500 s host-side) — the BENCH_r04 rc=124 stall.  Mosaic inlines
+# the calls at lowering, so the emitted kernel code is unchanged.
+_kjit = partial(jax.jit, inline=False)
 
+
+@jax.tree_util.register_pytree_node_class
 class FE:
     """Field element inside a kernel: 16 [TB] uint32 limb vectors plus a
-    static per-limb bound (the ops/limb.py magnitude discipline)."""
+    static per-limb bound (the ops/limb.py magnitude discipline).
+
+    Registered as a pytree (bound static) so the jit-wrapped group
+    formulas can take/return FEs directly."""
 
     __slots__ = ("l", "bound")
 
     def __init__(self, limbs, bound):
         self.l = list(limbs)
         self.bound = int(bound)
+
+    def tree_flatten(self):
+        return tuple(self.l), self.bound
+
+    @classmethod
+    def tree_unflatten(cls, bound, children):
+        return cls(children, bound)
 
 
 def fe_weak(a: FE) -> FE:
@@ -165,6 +185,7 @@ def fe_one(template) -> FE:
     return FE([z + 1] + [z] * (LIMBS - 1), MASK16)
 
 
+@jax.tree_util.register_pytree_node_class
 class JP:
     """Jacobian point in kernel form: FE coords + [TB] uint32 0/1 inf
     mask (Mosaic dislikes i1 vectors in loop carries)."""
@@ -174,16 +195,27 @@ class JP:
     def __init__(self, x, y, z, inf):
         self.x, self.y, self.z, self.inf = x, y, z, inf
 
+    def tree_flatten(self):
+        return (self.x, self.y, self.z, self.inf), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
 
 def jp_inf(template) -> JP:
-    return JP(fe_zero(template), fe_one(template), fe_one(template),
-              jnp.ones_like(template))
+    # x declared at the weak bound (0 <= MASK16) so the first add in a
+    # window chain shares the jit-trace signature of all later adds.
+    z = jnp.zeros_like(template)
+    return JP(FE([z] * LIMBS, MASK16), fe_one(template),
+              fe_one(template), jnp.ones_like(template))
 
 
 def _b(inf_u32):
     return inf_u32 != 0
 
 
+@_kjit
 def jp_double(a: JP) -> JP:
     """Mirror of ops/group.py gej_double (src/group_impl.h:468)."""
     A = fe_sqr(a.x)
@@ -251,6 +283,7 @@ def _jp_add_core(U1, S1, U2, S2, Zmul, a: JP, bx, by, b_inf):
     return JP(X3, Y3, Z3, inf)
 
 
+@_kjit
 def jp_add_aff(a: JP, bx: FE, by: FE, b_inf) -> JP:
     """Complete mixed addition a + (bx, by) affine
     (cf. gej_add_ge, src/group_impl.h:732)."""
@@ -263,6 +296,7 @@ def jp_add_aff(a: JP, bx: FE, by: FE, b_inf) -> JP:
                         b_inf)
 
 
+@_kjit
 def jp_add(a: JP, b: JP) -> JP:
     """Complete general addition (jacobian + jacobian)."""
     Z11 = fe_sqr(a.z)
@@ -443,6 +477,7 @@ def _g_tables_int():
 # docs/PERF.md "Tried and rejected".)
 
 
+@_kjit
 def _add_aff_ratio(ax: FE, ay: FE, az: FE, bx: FE, by: FE):
     """Complete mixed add for the table build (inputs never infinity);
     returns (X3, Y3, Z3, m) where Z3 = az*m — m is the z-ratio the

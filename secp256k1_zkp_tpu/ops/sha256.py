@@ -19,7 +19,10 @@ import numpy as np
 from ..utils import sha256_host
 
 _u32 = jnp.uint32
-_K = jnp.asarray(np.array(sha256_host.K, dtype=np.uint32))
+# Host numpy, NOT jnp: a module-level jnp constant lives on the default
+# device and is fetched back at every lowering — 0.3-190 s per fetch
+# over the axon tunnel (ops/limb.py:260 measured round 4).
+_K = np.array(sha256_host.K, dtype=np.uint32)
 _INIT = np.array(sha256_host.INIT, dtype=np.uint32)
 
 

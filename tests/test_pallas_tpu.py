@@ -96,6 +96,62 @@ def test_schnorr_verify_tpu(rng):
     assert (ok == expect).all()
 
 
+def test_batch_verify_tpu(rng):
+    """batch_verify_tpu: accepts a valid batch, matches batch_verify
+    and per-sig verify_tpu, rejects corrupted lanes, and rejects the
+    round-4 two-lane cancellation forgery (VERDICT r4)."""
+    from secp256k1_zkp_tpu.modules import schnorrsig
+    n = B
+    msgs = np.zeros((n, 32), np.uint8)
+    sigs = np.zeros((n, 64), np.uint8)
+    pxs = np.zeros((n, 32), np.uint8)
+    for i in range(n):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        sig = oracle.schnorr_sign(msg, d)
+        P = hostcurve.mul(d)
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        sigs[i] = np.frombuffer(sig, np.uint8)
+        pxs[i] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+    m_j, s_j, p_j = jnp.asarray(msgs), jnp.asarray(sigs), jnp.asarray(pxs)
+
+    bfn = jax.jit(schnorrsig.batch_verify_tpu)
+    assert bool(np.asarray(bfn(m_j, s_j, p_j)))
+    # parity: per-signature kernel verify and the jnp batch path agree
+    assert np.asarray(schnorrsig.verify_tpu(m_j, s_j, p_j)).all()
+    assert bool(np.asarray(jax.jit(schnorrsig.batch_verify)(
+        m_j, s_j, p_j)))
+
+    # corrupted-lane negatives: s half, r half, msg, pk
+    for (row, col) in [(3, 40), (5, 2), (-1, -1), (7, 0)]:
+        m2, s2, p2 = np.array(msgs), np.array(sigs), np.array(pxs)
+        if (row, col) == (-1, -1):
+            m2[11, 4] ^= 0x20
+        elif col == 0:
+            p2[row, 16] ^= 1
+        else:
+            s2[row, col] ^= 1
+        assert not bool(np.asarray(bfn(
+            jnp.asarray(m2), jnp.asarray(s2), jnp.asarray(p2)))), \
+            (row, col)
+
+    # the round-4 cancellation forgery: s_0 += z_1*t, s_1 -= t with z
+    # computed on the unmodified batch (the attacker's best guess now
+    # that z binds every s) must be rejected
+    z = np.asarray(schnorrsig._batch_randomizers(m_j, s_j, p_j,
+                                                 None, n).v)
+    z1 = sum(int(z[1, i]) << (16 * i) for i in range(16))
+    t = 0xDEADBEEF
+    s0 = int.from_bytes(bytes(sigs[0, 32:]), "big")
+    s1 = int.from_bytes(bytes(sigs[1, 32:]), "big")
+    sf = np.array(sigs)
+    sf[0, 32:] = np.frombuffer(
+        ((s0 + z1 * t) % hostcurve.N).to_bytes(32, "big"), np.uint8)
+    sf[1, 32:] = np.frombuffer(
+        ((s1 - t) % hostcurve.N).to_bytes(32, "big"), np.uint8)
+    assert not bool(np.asarray(bfn(m_j, jnp.asarray(sf), p_j)))
+
+
 def test_pedersen_commit_tpu(rng):
     from secp256k1_zkp_tpu.modules import generator as gen_mod
     from secp256k1_zkp_tpu.ops import field as F, group as G

@@ -160,3 +160,75 @@ def test_batch_verify(rng):
     ok = jax.jit(schnorrsig.batch_verify)(
         jnp.asarray(msgs), jnp.asarray(sigs2), jnp.asarray(pxs))
     assert not bool(np.asarray(ok))
+
+
+def _make_schnorr_batch(rng, n):
+    from secp256k1_zkp_tpu.utils import hostcurve
+    msgs = np.zeros((n, 32), np.uint8)
+    sigs = np.zeros((n, 64), np.uint8)
+    pxs = np.zeros((n, 32), np.uint8)
+    for i in range(n):
+        d = int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+        msg = rng.bytes(32)
+        sig = oracle.schnorr_sign(msg, d)
+        P = hostcurve.mul(d)
+        msgs[i] = np.frombuffer(msg, np.uint8)
+        sigs[i] = np.frombuffer(sig, np.uint8)
+        pxs[i] = np.frombuffer(P[0].to_bytes(32, "big"), np.uint8)
+    return msgs, sigs, pxs
+
+
+def test_batch_verify_rejects_cancellation_forgery(rng):
+    """Execute the round-4 forgery (VERDICT r4 'What's weak' #1) and
+    assert it now FAILS: when randomizers were z_i = H(seed||m_i||r_i)
+    (independent of s and pk), shifting s_0 += z_1*t and s_1 -= t
+    preserved sum z_i s_i while breaking both individual signatures,
+    and batch_verify accepted the forged pair.  With z_i derived from a
+    digest of the ENTIRE batch (every pk, msg and full sig), the
+    randomizers move when any s moves, so the cancellation no longer
+    lines up."""
+    from secp256k1_zkp_tpu.utils import hostcurve
+    n = 2
+    msgs, sigs, pxs = _make_schnorr_batch(rng, n)
+    # the attacker's best shot: z of the (public) unmodified batch
+    z = schnorrsig._batch_randomizers(
+        jnp.asarray(msgs), jnp.asarray(sigs), jnp.asarray(pxs), None, n)
+    zv = np.asarray(z.v)
+    z1 = sum(int(zv[1, i]) << (16 * i) for i in range(16))
+    N = hostcurve.N
+    t = 0x1234567
+    s0 = int.from_bytes(bytes(sigs[0, 32:]), "big")
+    s1 = int.from_bytes(bytes(sigs[1, 32:]), "big")
+    sigs_f = np.array(sigs)
+    sigs_f[0, 32:] = np.frombuffer(
+        ((s0 + z1 * t) % N).to_bytes(32, "big"), np.uint8)
+    sigs_f[1, 32:] = np.frombuffer(
+        ((s1 - t) % N).to_bytes(32, "big"), np.uint8)
+    # both forged signatures are individually invalid ...
+    ok_ind = np.asarray(jax.jit(schnorrsig.verify)(
+        jnp.asarray(msgs), jnp.asarray(sigs_f), jnp.asarray(pxs)))
+    assert not ok_ind.any()
+    # ... and the batch must reject them too
+    ok = jax.jit(schnorrsig.batch_verify)(
+        jnp.asarray(msgs), jnp.asarray(sigs_f), jnp.asarray(pxs))
+    assert not bool(np.asarray(ok))
+
+
+def test_batch_randomizers_bind_every_input(rng):
+    """z must move when ANY input byte moves — pk, msg, r or s half —
+    otherwise the corresponding term can be shifted out of the batch
+    equation (the mechanism behind the round-4 forgery)."""
+    msgs, sigs, pxs = _make_schnorr_batch(rng, 3)
+    base = np.asarray(schnorrsig._batch_randomizers(
+        jnp.asarray(msgs), jnp.asarray(sigs), jnp.asarray(pxs),
+        None, 3).v)
+    variants = []
+    m2 = np.array(msgs); m2[2, 0] ^= 1; variants.append((m2, sigs, pxs))
+    s2 = np.array(sigs); s2[1, 5] ^= 1; variants.append((msgs, s2, pxs))  # r half
+    s3 = np.array(sigs); s3[1, 60] ^= 1; variants.append((msgs, s3, pxs))  # s half
+    p2 = np.array(pxs); p2[0, 9] ^= 1; variants.append((msgs, sigs, p2))
+    for m, s, p in variants:
+        zz = np.asarray(schnorrsig._batch_randomizers(
+            jnp.asarray(m), jnp.asarray(s), jnp.asarray(p), None, 3).v)
+        # z_0 is pinned to 1; lanes 1.. must change
+        assert not np.array_equal(zz[1:], base[1:])
