@@ -31,6 +31,13 @@ MAX_DEV = int(os.environ.get("SECP_TPU_SCALE_DEVICES", "8"))
 def main():
     import jax
     virtual = False
+    if os.environ.get("_SECP_SCALE_CHILD"):
+        # The axon plugin out-prioritizes the JAX_PLATFORMS env var
+        # (docs/PERF.md "round-4 findings" #1): the child must pin the
+        # platform in-process BEFORE any backend query, or it sees the
+        # single tunneled TPU again and bails.
+        virtual = True
+        jax.config.update("jax_platforms", "cpu")
     if jax.device_count() < 2:
         # re-exec under a virtual CPU mesh
         if os.environ.get("_SECP_SCALE_CHILD"):
@@ -38,9 +45,14 @@ def main():
             return
         os.environ["_SECP_SCALE_CHILD"] = "1"
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # compile-small engines for the XLA:CPU virtual mesh (same
+        # rationale as the dryrun, __graft_entry__.py)
+        os.environ.setdefault("SECP_TPU_JNP_WINDOW", "1")
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={MAX_DEV}").strip()
+            + f" --xla_force_host_platform_device_count={MAX_DEV}"
+            " --xla_backend_optimization_level=1"
+            " --xla_llvm_disable_expensive_passes=true").strip()
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
     import jax.numpy as jnp
@@ -48,9 +60,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/secp_tpu_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if os.environ.get("_SECP_SCALE_CHILD"):
-        virtual = True
-        jax.config.update("jax_platforms", "cpu")
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     from secp256k1_zkp_tpu.ops import group as G
@@ -138,7 +147,6 @@ def main():
             "lanes": B, "value": round(dt * 1e3, 3), "unit": "ms",
             "virtual": virtual}), file=sys.stderr)
 
-    rows = []
     if len(sizes) > 1:
         eff = times[sizes[0]] / times[sizes[-1]]
         row = {

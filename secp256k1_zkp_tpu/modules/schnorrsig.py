@@ -382,7 +382,6 @@ def batch_verify_tpu(msgs32, sigs64, pxs32, seed32=None,
     analog of this shape is halfagg aggverify routed through
     ecmult_multi (modules/schnorrsig_halfagg/main_impl.h:108-200,
     src/ecmult_impl.h:516-621)."""
-    from ..ops import msm
     from ..ops import pallas_field as PF
     from ..ops import pallas_gen as PGEN
 
@@ -437,12 +436,15 @@ def batch_verify_tpu(msgs32, sigs64, pxs32, seed32=None,
     # failed lifts carry garbage y limbs: mark those lanes infinity so
     # the MSM sees the identity (the final `ok &` gate already rejects
     # the batch, but no caller of rhs should ever read undefined
-    # points; same discipline as batch_verify's inf propagation)
-    pts = G.GE(LB(jnp.concatenate([rx.v, pkx.v], axis=0), 0xFFFF),
-               LB(jnp.concatenate([ry.v, py.v], axis=0), 0xFFFF),
-               jnp.concatenate([~r_ok[:n], ~p_ok[:n]], axis=0))
-    ks = LB(jnp.concatenate([S.normalize(z).v, ze.v], axis=0), 0xFFFF)
-    rhs = msm.ecmult_multi(ks, pts)
+    # points; same discipline as batch_verify's inf propagation).
+    # Two MSMs split by scalar width: the z_i are 128-bit, so the R_i
+    # side sweeps half the windows (ops/pallas_msm.py nbits).
+    from ..ops import pallas_msm
+    rhs_r = pallas_msm.msm_windowed_tpu(
+        S.normalize(z), G.GE(rx, ry, ~r_ok[:n]), nbits=128)
+    rhs_p = pallas_msm.msm_windowed_tpu(
+        S.normalize(ze), G.GE(pkx, py, ~p_ok[:n]), nbits=256)
+    rhs = G.gej_add(rhs_r, rhs_p)
 
     # lhs = ssum*G through the comb kernel (one padded block).
     ssum_t = jnp.zeros((16, 256), jnp.uint32).at[:, 0].set(ssum.v)

@@ -397,6 +397,12 @@ def ecmult_multi(ks: LB, pts: G.GE) -> G.GEJ:
         # per-lane only, so batched inputs use the shared-doubling
         # windowed engine (or per-lane multiplies when tiny).
         return msm_simple(ks, pts) if n <= 32 else msm_windowed(ks, pts)
+    if _use_pallas() and n > 256:
+        # fused contiguous windowed-table kernel: ~8x the sort+scan
+        # Pippenger on v5e (round-5 profile: the scan's strided
+        # compaction is a 10x HBM relayout tax; see ops/pallas_msm.py)
+        from . import pallas_msm
+        return pallas_msm.msm_windowed_tpu(S.normalize(ks), pts)
     if n <= 32:
         return msm_simple(ks, pts)
     if n <= max(config().pippenger_threshold, 1024):

@@ -264,6 +264,49 @@ def test_msm_pippenger_tpu(rng, N):
     assert gx == expect[0]
 
 
+@pytest.mark.parametrize("N,nbits", [(1000, 256), (4096, 128)])
+def test_msm_windowed_tpu(rng, N, nbits):
+    """Fused windowed-table MSM vs the analytic P_i = a_i*G oracle
+    (incl. non-multiple-of-block N, 128-bit scalars, and an inf lane)."""
+    import jax.numpy as jnp
+    from secp256k1_zkp_tpu.ops import field as F, group as G
+    from secp256k1_zkp_tpu.ops import pallas_gen as PGEN, pallas_msm
+    from secp256k1_zkp_tpu.ops.limb import LB, MASK16, limbs_to_int_np
+
+    a_int = [int.from_bytes(rng.bytes(32), "big") % hostcurve.N or 1
+             for _ in range(N)]
+    k_int = [int.from_bytes(rng.bytes(nbits // 8), "big")
+             for _ in range(N)]
+    k_int[1] = 0
+
+    def rows(vals):
+        arr = np.zeros((16, len(vals)), np.uint32)
+        for j, v in enumerate(vals):
+            for i in range(16):
+                arr[i, j] = (v >> (16 * i)) & 0xFFFF
+        return jnp.asarray(arr)
+
+    # generate the points at a block-multiple width, slice to N
+    # (ecmult_gen_tpu's grid needs B % tb == 0)
+    npad = -(-N // 512) * 512
+    a_pad = a_int + [1] * (npad - N)
+    x, y, z = PGEN.ecmult_gen_tpu(rows(a_pad), tb=512)
+    xa, ya = PGEN.affine_xy_tpu(x, y, z, tb=512)
+    inf = jnp.zeros((N,), bool).at[2].set(True)   # lane 2 -> identity
+    pts = G.GE(LB(jnp.transpose(xa)[:N], MASK16),
+               LB(jnp.transpose(ya)[:N], MASK16), inf)
+    ks = LB(jnp.transpose(rows(k_int)), MASK16)
+    total = jax.jit(lambda k, p: pallas_msm.msm_windowed_tpu(
+        k, p, nbits=nbits))(ks, pts)
+    got = jax.block_until_ready(jax.jit(G.ge_from_gej)(total))
+    expect = hostcurve.mul(sum(
+        k * a for i, (k, a) in enumerate(zip(k_int, a_int)) if i != 2)
+        % hostcurve.N)
+    gx = limbs_to_int_np(np.asarray(
+        jax.jit(lambda v: F.normalize(v).v)(got.x)))
+    assert gx == expect[0]
+
+
 def test_lift_x_and_affine_meta(rng):
     from secp256k1_zkp_tpu.ops import pallas_field as PF
     xs = np.zeros((16, B), np.uint32)
