@@ -403,7 +403,10 @@ def main():
 
         def msm_bench():
             # 2^20-point MSM (the multi-chip unit of work; reference
-            # harness src/bench_ecmult.c:309-346)
+            # harness src/bench_ecmult.c:309-346) through the fused
+            # windowed-table engine (ops/pallas_msm.py — the TPU
+            # Pippenger equivalent; the sort+scan engine measured
+            # ~11x slower, docs/PERF.md round 5)
             from secp256k1_zkp_tpu.ops import msm
             from secp256k1_zkp_tpu.ops import pallas_gen as PGEN
             rng = np.random.default_rng(13)
@@ -420,7 +423,7 @@ def main():
                        LB(jnp.transpose(ya), MASK16),
                        jnp.zeros((NP_MSM,), bool))
             ks = LB(jnp.transpose(jnp.asarray(kk)), MASK16)
-            msm_fn = jax.jit(msm.msm_pippenger)
+            msm_fn = jax.jit(msm.ecmult_multi)
             np.asarray(msm_fn(ks, pts).x.v)  # warm + true tunnel fence
             t0 = time.perf_counter()
             reps = 3
@@ -428,7 +431,7 @@ def main():
                 r0 = msm_fn(ks, pts)
             np.asarray(r0.x.v)
             dt = time.perf_counter() - t0
-            _emit({"metric": "msm_pippenger_points_per_s",
+            _emit({"metric": "msm_points_per_s",
                    "value": round(NP_MSM * reps / dt, 1),
                    "unit": f"points/s (n={NP_MSM})"})
 

@@ -10,9 +10,14 @@ Counterpart of the reference ellswift module
 * :func:`encode` / :func:`create` — rejection-sample (u, t) using the
   SHA256-counter PRNG with the reference's exact tagged-hash midstates
   and (branch, u) consumption order (main_impl.h:310-460).  The
-  reference retries forever; here each lane runs a fixed 64 attempts
-  (first branch pool; failure probability (3/4)^64 ~ 1e-8) and reports
-  an ``ok`` mask.
+  reference retries forever; here attempts run in batched rounds of 64
+  continuing the same counter stream: called EAGERLY, the host loop
+  keeps adding rounds until every lane succeeds (the reference's
+  retry-forever semantics, device shapes static per round); called
+  under jit the loop cannot sync, so exactly one 64-attempt round runs
+  and the ``ok`` mask reports the < 2^-40-probability failures (the
+  reference's expected attempt count is ~2.5, so one round fails a
+  lane with p ~ (1 - 1/2.5)^64).
 * :func:`decode`, :func:`xdh` with the BIP-324 KDF.
 
 All random choices are bit-exact with the reference, so encodings are
@@ -197,30 +202,31 @@ def _fe_bcast(c: int, batch_shape):
 
 def _encode_common(x: LB, y_odd, hasher_state, prefix_bytes,
                    consumed_bytes, attempts: int = 64,
-                   b: int = F.B_COEFF):
+                   attempt_base: int = 0, b: int = F.B_COEFF):
     """Shared rejection-sampling loop of elligatorswift_var, as a
-    lax.scan over attempts.
+    lax.scan over attempts [attempt_base, attempt_base + attempts).
 
     Consumption order matches the reference exactly: cnt = 65k fills the
     64-entry 3-bit branch pool (consumed from the END, byte (i>>1),
-    nibble (i&1)); the other cnt values are u draws."""
+    nibble (i&1)); the other cnt values are u draws.  ``attempt_base``
+    lets retry rounds continue the identical counter stream."""
     batch = x.batch_shape
     found0 = jnp.zeros(batch, bool)
     t0 = LB(F.fe_zero(batch).v, MASK16)
     u0 = jnp.zeros((*batch, 32), jnp.uint8)
 
     # Precompute per-attempt (pool_cnt, u_cnt, nibble index) host-side.
-    blocks = -(-attempts // 64)
-    pool_cnts = np.array([b * 65 for b in range(blocks)], np.uint32)
-    u_cnts = np.array([(i // 64) * 65 + (i % 64) + 1
-                       for i in range(attempts)], np.uint32)
-    nib = np.array([63 - (i % 64) for i in range(attempts)], np.int32)
+    idx = np.arange(attempt_base, attempt_base + attempts)
+    blocks = sorted(set(int(i) // 64 for i in idx))
+    pool_cnts = np.array([blk * 65 for blk in blocks], np.uint32)
+    u_cnts = ((idx // 64) * 65 + (idx % 64) + 1).astype(np.uint32)
+    nib = (63 - (idx % 64)).astype(np.int32)
     pools = jnp.stack(
         [H.words_to_bytes32(_prng32(hasher_state, consumed_bytes,
                                     prefix_bytes,
                                     jnp.full(batch, int(c), jnp.uint32)))
          for c in pool_cnts], axis=0)  # [blocks, ..., 32]
-    pool_idx = np.array([i // 64 for i in range(attempts)], np.int32)
+    pool_idx = np.searchsorted(blocks, idx // 64).astype(np.int32)
 
     def body(carry, xs):
         found, t_v, u_b = carry
@@ -250,6 +256,35 @@ def _encode_common(x: LB, y_odd, hasher_state, prefix_bytes,
     return jnp.where(found[..., None], ell64, jnp.zeros_like(ell64)), found
 
 
+def _encode_rounds(x, y_odd, state, tail, consumed_bytes,
+                   b: int = F.B_COEFF, max_rounds: int = 64):
+    """Rounds of 64 attempts continuing one counter stream.
+
+    Eager: host-syncs after each round and keeps going until every
+    lane found an encoding — the reference's retry-forever loop
+    (main_impl.h:393-460) with static device shapes per round; rounds
+    beyond the first are cryptographically rare (p < 2^-40 per lane),
+    so their one-time compiles almost never happen.  Under jit the
+    sync raises ConcretizationTypeError and exactly one round runs
+    (callers check ``ok``)."""
+    ell64, ok = _encode_common(x, y_odd, state, tail, consumed_bytes,
+                               b=b)
+    for r in range(1, max_rounds):
+        try:
+            done = bool(np.asarray(jnp.all(ok)))
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            return ell64, ok            # traced: single fixed round
+        if done:
+            return ell64, ok
+        e_r, ok_r = _encode_common(x, y_odd, state, tail,
+                                   consumed_bytes, attempt_base=64 * r,
+                                   b=b)
+        ell64 = jnp.where(ok[..., None], ell64, e_r)
+        ok = ok | ok_r
+    return ell64, ok
+
+
 def _midstate(tag: str):
     return jnp.asarray(np.array(sha256_host.tagged_midstate(tag),
                                 dtype=np.uint32))
@@ -270,7 +305,7 @@ def encode(pub: G.GE, rnd32, b: int = F.B_COEFF):
     first_words = _bytes_to_words(prefix[..., :64])
     state = H.compress(state, first_words)
     tail = prefix[..., 64:]
-    ell64, ok = _encode_common(F.FP.normalize(pub.x), F.is_odd(pub.y),
+    ell64, ok = _encode_rounds(F.FP.normalize(pub.x), F.is_odd(pub.y),
                                state, tail, 128, b=b)
     return ell64, ok & ~pub.inf
 
@@ -292,7 +327,7 @@ def create(sec32, auxrnd32=None, table=None, b: int = F.B_COEFF):
     first_words = _bytes_to_words(prefix[..., :64])
     state = H.compress(state, first_words)
     tail = prefix[..., 64:]
-    ell64, enc_ok = _encode_common(F.FP.normalize(pub.x),
+    ell64, enc_ok = _encode_rounds(F.FP.normalize(pub.x),
                                    F.is_odd(pub.y), state, tail, 128,
                                    b=b)
     ok = ok & enc_ok

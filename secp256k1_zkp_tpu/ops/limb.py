@@ -147,7 +147,16 @@ def mul_cols(a: LB, b: LB) -> LB:
 
 
 def sqr_cols(a: LB) -> LB:
-    # TODO(perf): exploit symmetry (saves ~half the limb products).
+    """Square via the generic product.
+
+    Unlike the Pallas kernels (pallas_field._sqr_limbs, which halve
+    the unrolled product count via i<j symmetry), this layout gains
+    nothing from symmetry: the [..., 16, 16] outer product is ONE
+    vectorized op, and a triangular variant would either keep the same
+    dense shape (zeros cost the same lanes) or need pack/gather
+    relayouts that cost more than the multiplies they save.  Evaluated
+    and closed round 5 — kernels exploit symmetry, the jnp path
+    cannot profitably."""
     return mul_cols(a, a)
 
 

