@@ -4,13 +4,15 @@
 # the shared cache (and the driver's warm path) is untouched.
 cd /root/repo
 N=${1:-5}
+rm -f /tmp/dryrun_p95.log
 for i in $(seq 1 $N); do
   CACHE=$(mktemp -d /tmp/secp_cache_XXXX)
-  /usr/bin/time -f "run $i: %e s" env SECP_TPU_CACHE_DIR=$CACHE \
-    JAX_PLATFORMS=cpu \
+  T0=$SECONDS
+  SECP_TPU_CACHE_DIR=$CACHE JAX_PLATFORMS=cpu \
     XLA_FLAGS="--xla_force_host_platform_device_count=8" \
     timeout 900 python __graft_entry__.py >> /tmp/dryrun_p95.log 2>&1
-  echo "run $i rc=$?" >> /tmp/dryrun_p95.log
+  RC=$?
+  echo "run $i: $((SECONDS - T0)) s rc=$RC" >> /tmp/dryrun_p95.log
   rm -rf $CACHE
 done
 echo P95-DONE >> /tmp/dryrun_p95.log

@@ -426,7 +426,12 @@ class Mod:
         <=> limbs are all-0 or exactly the modulus.  ~6 HLO ops versus
         ~40 for the canonicalize-then-compare path — this runs inside
         every complete group add (the degenerate-case test), so its
-        size shows up in every traced scan body."""
+        size shows up in every traced scan body.
+
+        The 2*modulus > 2^256 precondition is the class invariant
+        (__post_init__ asserts modulus > 2^255); tiny exhaustive-test
+        orders never reach this code — they use the separate SmallMod
+        engine (ops/small_scalar.py)."""
         assert a.bound <= MASK16 and a.v.shape[-1] == LIMBS
         return (jnp.all(a.v == 0, axis=-1)
                 | jnp.all(a.v == self._mod_np, axis=-1))

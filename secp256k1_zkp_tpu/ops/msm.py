@@ -21,7 +21,12 @@ ecmult_impl.h:55):
   scatter of the reference becomes sort + segmented-scan, the only
   bucket-accumulation shape that is both work-efficient and
   data-independent on a vector machine.
-* :func:`ecmult_multi` — size dispatch across the three.
+* :func:`ecmult_multi` — size dispatch across the three, plus the
+  TPU fast path: on Pallas backends, 1-D batches above 256 points
+  route to the fused windowed-table engine (``ops/pallas_msm.py``,
+  ~11x the sort+scan path on v5e — see docs/PERF.md round 5); the
+  engines here remain the portable/CPU reference and the
+  multi-device building block.
 
 Multi-device sharding lives in ``parallel/msm_sharded.py``.
 """

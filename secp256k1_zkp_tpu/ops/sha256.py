@@ -117,7 +117,7 @@ def compress(state, block):
     if _COMPRESS_OVERRIDE is not None:
         return _COMPRESS_OVERRIDE(state, block)
     from ..config import config
-    if config().sha_unroll:
+    if config().sha_unrolled():
         return _compress_unrolled(state, block)
     return _compress_scan(state, block)
 
